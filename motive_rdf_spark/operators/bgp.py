@@ -1,0 +1,196 @@
+"""BGP matcher: conjunctive-query evaluation over a triples DataFrame.
+
+The reference's query engine is a backtracking constraint solver with
+MRV variable ordering and arc-consistency pruning (Find.java:40-500).
+Set-at-a-time Spark replaces all of that with an **iterative hash-join
+expansion**: start from the most selective pattern edge as a filtered
+scan of ``triples``, then for each further edge join the accumulated
+embedding DataFrame with ``triples`` on the shared variables.
+
+Semantics preserved exactly (SURVEY.md §1.2):
+
+- constants filter the per-edge scan (FindTest.java:51-64 uses
+  grounded terms);
+- **node-variable injectivity** — two node variables never bind the
+  same constant (Find.alreadyClaimed, Find.java:135-148; setSingleton
+  Find.java:256-268) → pairwise ``!=`` predicates, applied as soon as
+  both columns exist (early pruning);
+- **per-edge triple distinctness** — every pattern edge maps to a
+  distinct graph triple (Find.Candidates.isMatch, Find.java:286-316)
+  → carry each edge's triple id through the joins, final pairwise
+  ``!=`` filter;
+- match projection ordered by variable descending, ``-1`` first
+  (Find.java:402-422) → columns ``v1, v2, …``.
+
+Scale notes: each expansion step is one shuffle-or-broadcast hash join
+on long keys; AQE handles skewed hub values (rdf:type-like predicates)
+via skew-join splitting, and runtime Bloom-filter joins recreate the
+reference's semijoin candidate reduction (Find.java:197-216). Join
+*order* (the MRV analog, Find.java:101-102) is chosen here at
+plan-construction time: constants-first heuristic, or exact per-edge
+selectivity probes when ``probe=True``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from motive_rdf_spark.patterns import Pattern, var_col
+
+TID = "__tid"
+
+
+def prepare_triples(triples: DataFrame) -> DataFrame:
+    """Dedupe (KGraph is a set of triples, KGraph.java:94-106) and attach
+    a deterministic per-triple id for edge-distinctness filtering.
+
+    ``xxhash64(s,p,o)`` is collision-free in practice (2^-64 per pair)
+    and — unlike ``monotonically_increasing_id`` — stable across runs
+    and partitionings, which matters for checkpoint/resume.
+    """
+    cols = triples.columns
+    if TID in cols:
+        return triples
+    return triples.select("s", "p", "o").dropDuplicates().withColumn(
+        TID, F.xxhash64("s", "p", "o")
+    )
+
+
+def _edge_scan(triples: DataFrame, edge: tuple[int, int, int], idx: int) -> DataFrame:
+    """Filtered scan of the triples table for one pattern edge, projected
+    to that edge's variable columns + its triple id.
+
+    Constants become pushed-down filters (the Spark analog of the
+    reference's 8-way index dispatch, KGraph.java:154-190).
+    """
+    s, p, o = edge
+    df = triples
+    for term, col in ((s, "s"), (p, "p"), (o, "o")):
+        if term >= 0:
+            df = df.filter(F.col(col) == F.lit(term))
+    # repeated variable within one edge (e.g. ?x -[p]-> ?x) => equality
+    if s < 0 and s == o:
+        df = df.filter(F.col("s") == F.col("o"))
+    if p < 0 and (p == s or p == o):
+        # node and predicate vars live in distinct id spaces in the
+        # reference; a shared negative id across positions cannot occur
+        # in a valid pattern (Utils.valid) — guard anyway.
+        raise ValueError(f"variable {p} used as both node and predicate")
+    sel = []
+    seen: set[str] = set()
+    for term, col in ((s, "s"), (p, "p"), (o, "o")):
+        if term < 0:
+            name = var_col(term)
+            if name not in seen:
+                sel.append(F.col(col).alias(name))
+                seen.add(name)
+    sel.append(F.col(TID).alias(f"{TID}_{idx}"))
+    return df.select(*sel)
+
+
+def _order_edges(
+    pattern: Pattern, triples: DataFrame, probe: bool
+) -> list[int]:
+    """Join-order heuristic replacing the reference's MRV fail-first
+    ordering (Find.java:101-102, variablesRemaining 382-394).
+
+    Greedy left-deep: start from the most selective edge, then always
+    pick a connected edge (shares a variable with what's bound) with
+    the best selectivity estimate. ``probe=True`` runs one cheap
+    ``count()`` per edge (pushed-down scans) for exact base
+    selectivities; otherwise constants-count is the proxy.
+    """
+    edges = list(pattern.edges)
+    n = len(edges)
+    if probe:
+        costs = [
+            float(_edge_scan(triples, e, i).count()) for i, e in enumerate(edges)
+        ]
+    else:
+        # fewer variables → more selective; predicate constants help most
+        costs = [
+            sum((t < 0) * (2.0 if pos != 1 else 1.0) for pos, t in enumerate(e))
+            for e in edges
+        ]
+
+    def edge_vars(e) -> set[int]:
+        return {t for t in e if t < 0}
+
+    remaining = set(range(n))
+    order: list[int] = []
+    bound: set[int] = set()
+    while remaining:
+        connected = [i for i in remaining if edge_vars(edges[i]) & bound]
+        pool = connected or sorted(remaining)
+        best = min(pool, key=lambda i: (costs[i], i))
+        order.append(best)
+        bound |= edge_vars(edges[best])
+        remaining.discard(best)
+    return order
+
+
+def find(
+    triples: DataFrame,
+    pattern: Pattern,
+    probe: bool = False,
+    distinct_edges: bool = True,
+) -> DataFrame:
+    """All matches of ``pattern`` in ``triples`` — the Spark equivalent of
+    ``Find.find(pattern, graph)`` (Find.java:40-72).
+
+    Returns a DataFrame with one column per variable, named ``v1..vk``
+    in variable-descending order (v1 = variable -1). For a fully
+    grounded pattern, returns a single-column DataFrame ``matched``
+    with one row iff all edges exist as pairwise-distinct triples.
+    """
+    if not pattern.edges:
+        raise ValueError("empty pattern")
+    triples = prepare_triples(triples)
+
+    order = _order_edges(pattern, triples, probe)
+    node_var_cols = [var_col(v) for v in pattern.node_vars]
+
+    emb: DataFrame | None = None
+    present: set[str] = set()
+    injected: set[frozenset[str]] = set()
+    for idx in order:
+        scan = _edge_scan(triples, pattern.edges[idx], idx)
+        evars = [c for c in scan.columns if not c.startswith(TID)]
+        if emb is None:
+            emb = scan
+        else:
+            shared = [c for c in evars if c in present]
+            if shared:
+                emb = emb.join(scan, on=shared, how="inner")
+            else:
+                emb = emb.crossJoin(scan)
+        present.update(evars)
+        # inject node-var injectivity as soon as both columns exist
+        for i, a in enumerate(node_var_cols):
+            for b in node_var_cols[i + 1 :]:
+                key = frozenset((a, b))
+                if a in present and b in present and key not in injected:
+                    emb = emb.filter(F.col(a) != F.col(b))
+                    injected.add(key)
+
+    assert emb is not None
+    if distinct_edges and len(pattern.edges) > 1:
+        tids = [f"{TID}_{i}" for i in range(len(pattern.edges))]
+        for i in range(len(tids)):
+            for j in range(i + 1, len(tids)):
+                # only edge pairs that can collide on a triple need the
+                # filter: same constant predicates or any variable pred
+                pi, pj = pattern.edges[i][1], pattern.edges[j][1]
+                if pi >= 0 and pj >= 0 and pi != pj:
+                    continue
+                emb = emb.filter(F.col(tids[i]) != F.col(tids[j]))
+
+    out_cols = [var_col(v) for v in pattern.variables]
+    if not out_cols:  # fully grounded pattern
+        return emb.limit(1).select(F.lit(True).alias("matched"))
+    return emb.select(*out_cols)
+
+
+def find_count(triples: DataFrame, pattern: Pattern, **kw) -> int:
+    """Match count — the support statistic (SimAnnealing.java:156,204)."""
+    return find(triples, pattern, **kw).count()

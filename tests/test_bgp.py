@@ -1,0 +1,123 @@
+"""BGP matcher goldens — ports of FindTest.findTest1 (FindTest.java:33-133),
+the hub/chain generator identities (FindTest.java:191-255,
+MotifCodeTest.java:68-103), and pattern validity (UtilsTest semantics)."""
+
+from motive_rdf_spark.data.generators import chain_graph, find1_graph, hub_graph
+from motive_rdf_spark.operators.bgp import find, find_count
+from motive_rdf_spark.patterns import Pattern
+
+
+def rows_set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_find1_grounded_with_pred_var(spark):
+    # pattern: 3-[1]->4, 4-[?p1]->5  => 2 matches (FindTest.java:51-64)
+    g = find1_graph(spark)
+    pat = Pattern([(3, 1, 4), (4, -1, 5)])
+    m = find(g, pat)
+    assert m.columns == ["v1"]
+    assert rows_set(m) == {(1,), (0,)}
+
+
+def test_find1_mixed_constants(spark):
+    # 0-[?p2]->3, 0-[?p3]->?n1, ?n1-[?p4]->3 => {(1,1,0,0),(2,1,0,0)}
+    # (FindTest.java:66-83); vars: n1=-1, p2=-2, p3=-3, p4=-4
+    g = find1_graph(spark)
+    pat = Pattern([(0, -2, 3), (0, -3, -1), (-1, -4, 3)])
+    m = find(g, pat)
+    assert m.columns == ["v1", "v2", "v3", "v4"]
+    assert rows_set(m) == {(1, 1, 0, 0), (2, 1, 0, 0)}
+
+
+def test_find1_all_var_triangle(spark):
+    # ?n1-[?p4]->?n2, ?n1-[?p5]->?n3, ?n2-[?p6]->?n3
+    # => exactly {(0,1,3,0,1,0), (0,2,3,0,1,0)} (FindTest.java:85-103)
+    g = find1_graph(spark)
+    pat = Pattern([(-1, -4, -2), (-1, -5, -3), (-2, -6, -3)])
+    m = find(g, pat)
+    assert m.columns == ["v1", "v2", "v3", "v4", "v5", "v6"]
+    assert rows_set(m) == {(0, 1, 3, 0, 1, 0), (0, 2, 3, 0, 1, 0)}
+
+
+def test_find1_vee_injectivity(spark):
+    # ?n1-[?p4]->?n3, ?n2-[?p5]->?n3 => the 6 bindings of FindTest.java:105-132
+    # (node-var injectivity: ?n1 != ?n2)
+    g = find1_graph(spark)
+    pat = Pattern([(-1, -4, -3), (-2, -5, -3)])
+    m = find(g, pat)
+    expected = {
+        (0, 2, 3, 1, 0),
+        (2, 0, 3, 0, 1),
+        (0, 1, 3, 1, 0),
+        (1, 0, 3, 0, 1),
+        (1, 2, 3, 0, 0),
+        (2, 1, 3, 0, 0),
+    }
+    assert rows_set(m) == expected
+
+
+def test_find1_probe_ordering_same_result(spark):
+    g = find1_graph(spark)
+    pat = Pattern([(-1, -4, -3), (-2, -5, -3)])
+    assert rows_set(find(g, pat, probe=True)) == rows_set(find(g, pat))
+
+
+def test_hub_generator_counts(spark):
+    # ?n3-[0]->0, ?n3-[1]->1 has exactly `middle` matches (FindTest.java:191-212)
+    middle = 37
+    g = hub_graph(spark, middle)
+    pat = Pattern([(-1, 0, 0), (-1, 1, 1)])
+    assert find_count(g, pat) == middle
+
+
+def test_hub_generator_with_pred_vars(spark):
+    # shifted-variable variants also yield `middle` (FindTest.java:214-255)
+    middle = 21
+    g = hub_graph(spark, middle)
+    # ?n1-[?p2]->0, ?n1-[?p3]->1 : p2 must be 0 and p3 must be 1 => middle
+    pat = Pattern([(-1, -2, 0), (-1, -3, 1)])
+    assert find_count(g, pat) == middle
+
+
+def test_chain_generator_counts(spark):
+    # ?n1-[0]->0, ?n2-[1]->1, ?n1-[2]->?n2 => exactly `middle` matches
+    # (MotifCodeTest.java:68-103)
+    middle = 25
+    g = chain_graph(spark, middle)
+    pat = Pattern([(-1, 0, 0), (-2, 1, 1), (-1, 2, -2)])
+    assert find_count(g, pat) == middle
+
+
+def test_edge_distinctness(spark):
+    # pattern ?n1-[?p3]->?n2, ?n1-[?p4]->?n2 on a single-triple graph:
+    # both edges would bind the same triple -> 0 matches
+    # (Find.Candidates.isMatch, Find.java:286-316)
+    g = spark.createDataFrame([(10, 5, 11)], "s long, p long, o long")
+    pat = Pattern([(-1, -3, -2), (-1, -4, -2)])
+    assert find_count(g, pat) == 0
+
+
+def test_grounded_pattern(spark):
+    g = find1_graph(spark)
+    assert find_count(g, Pattern([(0, 0, 1), (0, 1, 3)])) == 1
+    assert find_count(g, Pattern([(0, 0, 1), (0, 1, 4)])) == 0
+
+
+def test_pattern_validity():
+    assert Pattern([(-1, 0, 0), (-1, 1, 1)]).valid()
+    assert Pattern([(-1, -3, -2), (-1, -4, -2)]).valid()
+    # node vars must start at -1
+    assert not Pattern([(-2, 0, 0), (-2, 1, 1)]).valid()
+    # predicate vars must sit below node vars
+    assert not Pattern([(-2, -1, -3)]).valid()
+    # disconnected
+    assert not Pattern([(-1, 0, 0), (-2, 1, 5)]).valid()
+    # predicate-vars-only start at -1
+    assert Pattern([(0, -1, 1)]).valid()
+    assert not Pattern([(0, -2, 1)]).valid()
+
+
+def test_pattern_instantiation():
+    pat = Pattern([(-1, -4, -2), (-1, -5, -3), (-2, -6, -3)])
+    assert pat.triples([0, 1, 3, 0, 1, 0]) == [(0, 0, 1), (0, 1, 3), (1, 0, 3)]
