@@ -1,0 +1,411 @@
+"""Driver-contract catalog: every implemented operator exposed as a
+(spark_query, duckdb_oracle_sql) pair over the driver's testdata tables
+(TESTDATA.md). Consumed by ``__spark_entry__.py``.
+
+Each Spark query and its oracle alias every computed column to the same
+name; value comparison is order-insensitive, so only names/values must
+line up. Ops that are not SQL-expressible (hash-seeded MinHash/SimHash,
+planted-motif recovery) have ``sql=None`` → driver's rows-only check;
+their exactness is pinned by pytest oracles instead (tests/).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from motive_rdf_spark import kg_tpch
+from motive_rdf_spark.kg_tpch import TRIPLES_CTE
+from motive_rdf_spark.operators import degrees as deg
+from motive_rdf_spark.operators.bgp import find
+from motive_rdf_spark.patterns import Pattern
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REG: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn: QueryFn):
+        _REG[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kg_tpch.triples_view(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# §2.3 BGP matcher queries (join-cascade engine vs plain SQL self-joins)
+# ---------------------------------------------------------------------------
+
+_VEE_SQL = TRIPLES_CTE + """
+SELECT t1.s AS v1, t2.s AS v2, t1.o AS v3
+FROM triples t1, triples t2
+WHERE t1.p = 0 AND t2.p = 0 AND t1.o = t2.o
+  AND t1.s <> t2.s AND t1.s <> t1.o AND t2.s <> t2.o
+"""
+
+
+@q("bgp_vee", _VEE_SQL)
+def bgp_vee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """?n1-[in_nation]->?n3, ?n2-[in_nation]->?n3 — the vee pattern of
+    FindTest.java:105-132 over the TPC-H KG (customers/suppliers
+    co-located in a nation). Node-var injectivity gives v1<>v2 etc."""
+    return find(_triples(spark, sf_dir), Pattern([(-1, 0, -3), (-2, 0, -3)]))
+
+
+_CHAIN_SQL = TRIPLES_CTE + """
+SELECT t1.s AS v1, t1.o AS v2, t2.o AS v3, t3.o AS v4
+FROM triples t1, triples t2, triples t3
+WHERE t1.p = 1 AND t2.p = 2 AND t3.p = 3
+  AND t1.o = t2.s AND t2.o = t3.s
+  AND t1.s <> t1.o AND t1.s <> t2.o AND t1.s <> t3.o
+  AND t1.o <> t2.o AND t1.o <> t3.o AND t2.o <> t3.o
+"""
+
+
+@q("bgp_chain", _CHAIN_SQL)
+def bgp_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-node chain ?c-[placed]->?o-[contains]->?p-[supplied_by]->?s —
+    the left-deep join-expansion path (Find.java:74-122 as joins)."""
+    return find(
+        _triples(spark, sf_dir), Pattern([(-1, 1, -2), (-2, 2, -3), (-3, 3, -4)])
+    )
+
+
+@q(
+    "bgp_pred_var",
+    TRIPLES_CTE + "SELECT s AS v1, p AS v2 FROM triples WHERE o = 3",
+)
+def bgp_pred_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """?n1-[?p2]->3 : predicate-variable edge (FindTest.java:51-64 style)."""
+    return find(_triples(spark, sf_dir), Pattern([(-1, -2, 3)]))
+
+
+@q(
+    "bgp_support_by_nation",
+    _VEE_SQL.replace(
+        "SELECT t1.s AS v1, t2.s AS v2, t1.o AS v3",
+        "SELECT t1.o AS nation, CAST(COUNT(*) AS BIGINT) AS support",
+    )
+    + " GROUP BY t1.o",
+)
+def bgp_support_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif support counting via groupBy aggregate (north_star: 'support
+    counting via groupBy aggregates'; SimAnnealing.java:156,204)."""
+    m = find(_triples(spark, sf_dir), Pattern([(-1, 0, -3), (-2, 0, -3)]))
+    return m.groupBy(F.col("v3").alias("nation")).agg(F.count("*").alias("support"))
+
+
+# ---------------------------------------------------------------------------
+# §2.2 lookups + §2.4 degree aggregations
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "triple_lookup",
+    TRIPLES_CTE + "SELECT s, p, o FROM triples WHERE p = 0 AND o = 3",
+)
+def triple_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """find(null, 0, 3): bound-position dispatch becomes a pushed-down
+    filter (KGraph.find, KGraph.java:154-190)."""
+    t = _triples(spark, sf_dir)
+    return t.filter((F.col("p") == 0) & (F.col("o") == 3)).select("s", "p", "o")
+
+
+@q(
+    "degrees_in",
+    TRIPLES_CTE
+    + "SELECT o AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM triples GROUP BY o",
+)
+def degrees_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree sequence (KGraph.degrees, KGraph.java:1455-1476)."""
+    return deg.in_degrees(_triples(spark, sf_dir))
+
+
+@q(
+    "degrees_out",
+    TRIPLES_CTE
+    + "SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM triples GROUP BY s",
+)
+def degrees_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return deg.out_degrees(_triples(spark, sf_dir))
+
+
+@q(
+    "degrees_rel",
+    TRIPLES_CTE
+    + "SELECT p AS rel, CAST(COUNT(*) AS BIGINT) AS deg FROM triples GROUP BY p",
+)
+def degrees_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return deg.rel_degrees(_triples(spark, sf_dir))
+
+
+@q(
+    "topk_by_degree",
+    TRIPLES_CTE
+    + """SELECT o AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM triples
+GROUP BY o ORDER BY deg DESC, node ASC LIMIT 10""",
+)
+def topk_by_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k with deterministic tie-break (byScore/byFrequency,
+    SimAnnealing.java:685-734)."""
+    return (
+        deg.in_degrees(_triples(spark, sf_dir))
+        .orderBy(F.desc("deg"), F.asc("node"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "set_intersect",
+    TRIPLES_CTE
+    + "SELECT DISTINCT s AS node FROM triples INTERSECT SELECT DISTINCT o AS node FROM triples",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-domain intersection (Find.java:706-723)."""
+    t = _triples(spark, sf_dir)
+    return t.select(F.col("s").alias("node")).distinct().intersect(
+        t.select(F.col("o").alias("node")).distinct()
+    )
+
+
+@q(
+    "set_minus",
+    TRIPLES_CTE
+    + "SELECT DISTINCT s AS node FROM triples EXCEPT SELECT DISTINCT o AS node FROM triples",
+)
+def set_minus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set minus (Find.java:725-730)."""
+    t = _triples(spark, sf_dir)
+    return t.select(F.col("s").alias("node")).distinct().subtract(
+        t.select(F.col("o").alias("node")).distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 dictionary encoding (first-seen order)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dict_encode",
+    """SELECT source, CAST(ROW_NUMBER() OVER (ORDER BY first_seen) - 1 AS BIGINT) AS id
+FROM (SELECT source, MIN(doc_id) AS first_seen FROM documents GROUP BY source)""",
+)
+def dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-seen dictionary encoding (KGraph.java:1240-1283: dense ids
+    in first-encounter order) over documents.source, with doc_id as the
+    stable scan order."""
+    docs = _t(spark, sf_dir, "documents")
+    firsts = docs.groupBy("source").agg(F.min("doc_id").alias("first_seen"))
+    return firsts.select(
+        "source",
+        (F.row_number().over(Window.orderBy("first_seen")) - 1).cast("long").alias("id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytics over the star schema (scan→filter→agg→join→window→top-k)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q1_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus""",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "top_customers",
+    """SELECT c.c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey ORDER BY revenue DESC, c.c_custkey ASC LIMIT 20""",
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dim join + top-k."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        F.broadcast(c).join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "events_daily",
+    """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2""",
+)
+def events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
+@q(
+    "sessionize",
+    """SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS sessions FROM (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1
+              ELSE 0 END AS new_session
+  FROM events) GROUP BY user_id""",
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) — window lag + running flag."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    # events.ts is TIMESTAMP_NTZ; session tz is UTC so the cast is exact
+    flag = F.when(lag_ts.isNull(), 1).when(
+        F.unix_micros(F.col("ts").cast("timestamp"))
+        - F.unix_micros(lag_ts.cast("timestamp"))
+        > 1_800_000_000,
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", flag)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("sessions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops: text analysis + dedup + similarity (documents/embeddings)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "token_count",
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"))
+
+
+@q(
+    "doc_fingerprint",
+    "SELECT doc_id, md5(text) AS fp FROM documents",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint — md5 hex agrees across engines (and mirrors
+    the graft's sha256-per-row invariant)."""
+    return _t(spark, sf_dir, "documents").select("doc_id", F.md5("text").alias("fp"))
+
+
+@q(
+    "sha256_invariant",
+    "SELECT doc_id, sha256(text) AS content_sha FROM documents",
+)
+def sha256_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-row content sha256 invariant (BASELINE.json input_hint)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("content_sha")
+    )
+
+
+@q(
+    "dedup_exact",
+    """SELECT doc_id, CAST(CASE WHEN doc_id > MIN(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS BIGINT) AS is_dup
+FROM documents""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy, keep lowest doc_id per content hash."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    return docs.select(
+        "doc_id",
+        (F.col("doc_id") > F.min("doc_id").over(w)).cast("long").alias("is_dup"),
+    )
+
+
+@q(
+    "lang_stopword_score",
+    """SELECT doc_id,
+       CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS BIGINT) AS the_hits,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+FROM documents""",
+)
+def lang_stopword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic ingredient: stopword hit count vs tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    hits = (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the ")))) / 5
+    return docs.select(
+        "doc_id",
+        hits.cast("long").alias("the_hits"),
+        F.size(F.split("text", " ", -1)).cast("long").alias("n_tokens"),
+    )
+
+
+@q(
+    "quality_score",
+    """SELECT doc_id,
+       ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_token
+FROM documents""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(
+            F.col("n_chars").cast("double") / F.size(F.split("text", " ", -1)), 4
+        ).alias("chars_per_token"),
+    )
+
+
+@q(
+    "embedding_norm",
+    """SELECT vec_id, ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2
+FROM embeddings""",
+)
+def embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select("vec_id", F.round(F.sqrt(sq), 4).alias("l2"))
+
+
+def registry() -> dict[str, tuple[QueryFn, str | None]]:
+    return dict(_REG)
