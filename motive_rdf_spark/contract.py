@@ -407,5 +407,79 @@ def embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", F.round(F.sqrt(sq), 4).alias("l2"))
 
 
+# ---------------------------------------------------------------------------
+# KG-construction pipeline (north_star): synthesized source-code table →
+# extract → link → canonicalize. Generators are seeded/deterministic but
+# hash-based (not reproducible in ANSI SQL) → rows-only driver checks;
+# exact semantics are pinned by tests/test_pipeline.py goldens.
+# ---------------------------------------------------------------------------
+
+_PIPE_ROWS = 300
+
+
+@q("pipeline_extract", None)
+def pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized pandas-UDF triple extraction over the synthesized
+    source-code table (north_star; extract.py). Deterministic: seeded
+    generator + pure extraction."""
+    from motive_rdf_spark.data.generators import source_code_table
+    from motive_rdf_spark.pipeline.extract import extract_triples
+
+    src = source_code_table(spark, _PIPE_ROWS).drop("k")
+    return extract_triples(src).groupBy("pred").agg(F.count("*").alias("n")).orderBy("pred")
+
+
+@q("pipeline_link", None)
+def pipeline_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity linking vs broadcast candidate dictionary (link.py)."""
+    from motive_rdf_spark.data.generators import candidate_dict, source_code_table
+    from motive_rdf_spark.pipeline.extract import extract_triples
+    from motive_rdf_spark.pipeline.link import link_mentions
+
+    src = source_code_table(spark, _PIPE_ROWS).drop("k")
+    mentions = (
+        extract_triples(src)
+        .filter(F.col("pred") == "calls")
+        .select(F.col("obj").alias("mention"))
+    )
+    return link_mentions(mentions, candidate_dict(spark, _PIPE_ROWS)).orderBy("mention")
+
+
+@q("pipeline_canonicalize", None)
+def pipeline_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components canonicalization with salted min-aggregation
+    (canonicalize.py) over a seeded same_as graph."""
+    from motive_rdf_spark.pipeline.canonicalize import connected_components
+
+    edges = spark.range(400).select(
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(150)).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(8)), F.lit(150)).alias("dst"),
+    )
+    return connected_components(edges).orderBy("node")
+
+
+@q("pipeline_end_to_end", None)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full construction DAG in-memory (no writes): extract → link →
+    encode → canonicalize → final (s,p,o) aggregated per predicate."""
+    from motive_rdf_spark.data.generators import candidate_dict, source_code_table
+    from motive_rdf_spark.pipeline.canonicalize import canonical_entities, rewrite_triples
+    from motive_rdf_spark.pipeline.encode import encode_triples
+    from motive_rdf_spark.pipeline.materialize import SAME_AS, build_string_triples
+
+    src = source_code_table(spark, _PIPE_ROWS, commits=2).drop("k")
+    strs = build_string_triples(src, candidate_dict(spark, _PIPE_ROWS))
+    enc, _, pred_dict = encode_triples(strs.select("subj", "pred", "obj"))
+    said = pred_dict.filter(F.col("term") == SAME_AS).collect()[0]["id"]
+    sa = enc.filter(F.col("p") == said).select(F.col("s").alias("src"), F.col("o").alias("dst"))
+    final = rewrite_triples(enc.filter(F.col("p") != said), canonical_entities(sa))
+    return (
+        final.dropDuplicates()
+        .groupBy("p")
+        .agg(F.count("*").alias("n_triples"), F.countDistinct("s").alias("n_subjects"))
+        .orderBy("p")
+    )
+
+
 def registry() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_REG)

@@ -1,0 +1,120 @@
+"""Entity canonicalization: connected components over ``same_as``
+edges via iterative min-label propagation with salted, two-phase
+aggregation (north_star: "connected-components-style iterative
+self-joins with salted keys to defuse skew on hub entities").
+
+Algorithm (label propagation, converges in O(component diameter)
+rounds — same_as graphs are shallow: mention->entity stars plus a few
+chains):
+
+    label(v) := v
+    repeat:  label(v) := min(label(v), min_{(v,u) in E} label(u))
+
+Skew handling — the explicit part the north_rule asks for:
+
+- **salted min-aggregation**: a hub entity (e.g. a function called
+  from 20% of all files) contributes millions of (node, label)
+  candidate rows. The min per node is computed in two phases:
+  ``groupBy(node, salt)`` (fan-out S, map-side combinable) then
+  ``groupBy(node)`` — no single reducer ever sees a hub's full row
+  set.
+- **AQE skew-join splitting** (session.py) covers the edges⋈labels
+  propagation join.
+- ``localCheckpoint`` every round cuts the growing lineage
+  (SURVEY.md §4.3).
+
+Determinism: the fixpoint is order-independent (min is idempotent,
+commutative, associative), so the result is identical at any
+parallelism — the property the resume/scaling tests assert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+SALT_BUCKETS = 64
+
+
+def _salted_min(df: DataFrame, key: str, val: str, buckets: int) -> DataFrame:
+    """Two-phase min(val) per key with an explicit salt stage."""
+    salted = df.withColumn("_salt", F.pmod(F.xxhash64(val), F.lit(buckets)))
+    phase1 = salted.groupBy(key, "_salt").agg(F.min(val).alias(val))
+    return phase1.groupBy(key).agg(F.min(val).alias(val))
+
+
+def connected_components(
+    edges: DataFrame,
+    max_iter: int = 50,
+    salt_buckets: int = SALT_BUCKETS,
+) -> DataFrame:
+    """edges: DataFrame[src: long, dst: long] (undirected semantics).
+
+    Returns DataFrame[node: long, component: long] where component =
+    min node id of the connected component — the canonical entity id
+    rule (deterministic, stable under re-runs).
+    """
+    sym = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionAll(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    sym = sym.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # propagate: each edge (a,b) offers label(a) to b
+        offers = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("component")
+        )
+        cand = offers.unionAll(labels.select("node", "component"))
+        new_labels = _salted_min(cand, "node", "component", salt_buckets).localCheckpoint(
+            eager=True
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def canonical_entities(same_as: DataFrame, all_nodes: DataFrame | None = None) -> DataFrame:
+    """Map every node to its canonical id (component min). Nodes never
+    mentioned in a same_as edge map to themselves; pass ``all_nodes``
+    (DataFrame[node]) to include them explicitly, or leave None and
+    apply the mapping with a left join + coalesce downstream."""
+    cc = connected_components(same_as)
+    if all_nodes is None:
+        return cc
+    return (
+        all_nodes.select("node")
+        .distinct()
+        .join(cc, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )
+
+
+def rewrite_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite (s,p,o) through the canonical mapping (s and o only —
+    predicates live in their own id space). Two hash joins; the mapping
+    is usually much smaller than the triples table, so Spark broadcasts
+    it when it fits (autoBroadcastJoinThreshold in session.py)."""
+    ms = mapping.select(F.col("node").alias("s"), F.col("component").alias("_cs"))
+    mo = mapping.select(F.col("node").alias("o"), F.col("component").alias("_co"))
+    return (
+        triples.join(ms, "s", "left")
+        .join(mo, "o", "left")
+        .select(
+            F.coalesce("_cs", F.col("s")).alias("s"),
+            F.col("p"),
+            F.coalesce("_co", F.col("o")).alias("o"),
+        )
+    )

@@ -1,0 +1,124 @@
+"""Dictionary encoding: string terms -> dense long ids, at scale.
+
+The reference assigns dense ids in first-seen file order during a
+two-pass load (KGraph.java:1222-1317). "First seen" is not a stable
+notion for a distributed, resumable pipeline, so the engine's
+canonical rule is **dense ids in lexicographic order of the term** —
+deterministic across runs, partitionings, and cluster sizes (the
+property the resume and scaling tests assert). Any consistent
+bijection preserves P/R (triple-set comparison is done on decoded
+strings).
+
+``dense_ids`` is the scale-safe primitive: a global
+``row_number().over(Window.orderBy(...))`` funnels every row through
+ONE task, which is wrong at 1e9 dictionary entries. Instead:
+
+  1. range-repartition + sort the distinct terms (one shuffle, all
+     parallel);
+  2. count rows per partition (tiny collect: one long per partition);
+  3. add each partition's exclusive prefix-sum offset to its local
+     Arrow-batch cumulative count inside ``mapInPandas``.
+
+Same output as the window version (tests assert equality), no
+single-task bottleneck.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def dense_ids(df: DataFrame, col: str, id_col: str = "id", num_partitions: int | None = None) -> DataFrame:
+    """Distinct values of ``col`` -> dense ids [0, n) in lexicographic
+    order of the value. Output: DataFrame[col, id_col]."""
+    d = df.select(col).distinct()
+    if num_partitions:
+        d = d.repartitionByRange(num_partitions, F.col(col))
+    else:
+        d = d.repartitionByRange(F.col(col))
+    # checkpoint so the size-count job and the id-assignment job see the
+    # exact same physical partitioning (range boundaries sampled once)
+    d = (
+        d.sortWithinPartitions(col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+
+    sizes = {
+        r["_pid"]: r["cnt"]
+        for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+
+    schema = f"{col} string, {id_col} long"
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets[int(pdf["_pid"].iloc[0])]
+            out = pd.DataFrame(
+                {
+                    col: pdf[col],
+                    id_col: range(base + local, base + local + len(pdf)),
+                }
+            )
+            local += len(pdf)
+            yield out
+
+    return d.mapInPandas(assign, schema)
+
+
+def encode_triples(
+    mention_triples: DataFrame,
+    node_dict: DataFrame | None = None,
+    pred_dict: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """String (subj, pred, obj) triples -> long (s, p, o) + the two
+    dictionaries (node_dict[term,id], pred_dict[term,id]).
+
+    Nodes and predicates live in disjoint id spaces starting at 0 each,
+    exactly like the reference's nodes/relations dictionaries
+    (KGraph.java:1240-1283). Pass existing dictionaries to encode a new
+    snapshot consistently with prior ones (resume path); terms unseen
+    by the provided dictionary would get null ids — callers extend
+    dictionaries first (see materialize.extend_dict).
+    """
+    if node_dict is None:
+        nodes = mention_triples.select(F.col("subj").alias("term")).unionAll(
+            mention_triples.select(F.col("obj").alias("term"))
+        )
+        node_dict = dense_ids(nodes, "term")
+    if pred_dict is None:
+        pred_dict = dense_ids(mention_triples.select(F.col("pred").alias("term")), "term")
+
+    bs = node_dict.select(F.col("term").alias("subj"), F.col("id").alias("s"))
+    bo = node_dict.select(F.col("term").alias("obj"), F.col("id").alias("o"))
+    bp = F.broadcast(pred_dict.select(F.col("term").alias("pred"), F.col("id").alias("p")))
+    extra = [c for c in mention_triples.columns if c not in ("subj", "pred", "obj")]
+    enc = (
+        mention_triples.join(bs, "subj")
+        .join(bp, "pred")
+        .join(bo, "obj")
+        .select("s", "p", "o", *extra)
+    )
+    return enc, node_dict, pred_dict
+
+
+def decode_triples(triples: DataFrame, node_dict: DataFrame, pred_dict: DataFrame) -> DataFrame:
+    """(s,p,o) long -> (subj, pred, obj) strings (KGraph.recover,
+    KGraph.java:1490-1509) — three joins, predicate side broadcast."""
+    ds = node_dict.select(F.col("id").alias("s"), F.col("term").alias("subj"))
+    do = node_dict.select(F.col("id").alias("o"), F.col("term").alias("obj"))
+    dp = F.broadcast(pred_dict.select(F.col("id").alias("p"), F.col("term").alias("pred")))
+    return (
+        triples.join(ds, "s").join(dp, "p").join(do, "o").select("subj", "pred", "obj")
+    )

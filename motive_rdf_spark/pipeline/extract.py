@@ -1,0 +1,117 @@
+"""Vectorized triple extraction from the source-code table.
+
+Input (BASELINE.json input_hint): DataFrame[repo, path, commit, lang,
+content]. Output: string-level mention triples (subj, pred, obj) with
+provenance columns, one row per extracted fact.
+
+Extraction runs in a single Arrow-batched pandas UDF (no per-row
+Python at the Spark level; regex work happens on whole Arrow batches
+inside the UDF) producing an ``array<struct<subj,pred,obj>>`` that is
+then exploded JVM-side. The closed predicate vocabulary mirrors
+FIXTURES.md §1: ``defines_class``, ``defines_function``, ``imports``,
+``calls``, ``member_of``, ``in_repo``.
+
+The per-row invariant (input_hint): ``content_sha = sha2(content, 256)``
+is computed natively (no UDF) and carried through the pipeline so any
+downstream consumer can verify rows against the source.
+
+Scale notes: extraction is embarrassingly parallel (map-only — zero
+shuffles until the explode's downstream aggregation); throughput is
+bounded by regex CPU, so the 100 TB path is "more executors", which is
+exactly what map-only stages scale linearly on. Column pruning keeps
+the scan to (repo, path, commit, lang, content) only.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+# Subject placeholder for file-scoped facts, resolved after explode.
+FILE = "\x00FILE"
+
+# DataType object (not a DDL string): usable before any session exists.
+MENTION_SCHEMA = ArrayType(
+    StructType(
+        [
+            StructField("subj", StringType()),
+            StructField("pred", StringType()),
+            StructField("obj", StringType()),
+        ]
+    )
+)
+
+# One combined, language-overlapping regex bank (python/java/go). Each
+# entry: predicate -> compiled regex with one capture group.
+_RX_CLASS = re.compile(r"(?:^|\n)\s*(?:public\s+|final\s+|abstract\s+)*(?:class|interface|struct|type)\s+(\w+)")
+_RX_FUNC = re.compile(r"(?:^|\n)\s*(?:def|func)\s+(\w+)\s*\(")
+_RX_IMPORT = re.compile(r"(?:^|\n)\s*import\s+([\w.]+)")
+# call sites: name( not preceded by def/func keywords (those are defs)
+_RX_CALL = re.compile(r"(?<!def )(?<!func )\b(\w+)\s*\(")
+
+
+def _extract_one(content: str) -> list[dict]:
+    out: list[dict] = []
+    classes = _RX_CLASS.findall(content)
+    funcs = _RX_FUNC.findall(content)
+    defined = set(funcs)
+    for c in classes:
+        out.append({"subj": FILE, "pred": "defines_class", "obj": c})
+    for fn in funcs:
+        out.append({"subj": FILE, "pred": "defines_function", "obj": fn})
+        # member_of: function defined while a class is open in this file
+        if classes:
+            out.append({"subj": fn, "pred": "member_of", "obj": classes[0]})
+    for m in _RX_IMPORT.findall(content):
+        out.append({"subj": FILE, "pred": "imports", "obj": m})
+    caller = funcs[0] if funcs else FILE
+    for callee in _RX_CALL.findall(content):
+        if callee not in defined:
+            out.append({"subj": caller, "pred": "calls", "obj": callee})
+    return out
+
+
+@pandas_udf(MENTION_SCHEMA)
+def extract_mentions(content: pd.Series) -> pd.Series:
+    """Arrow-batched extraction: Series[str] -> Series[list[struct]]."""
+    return content.map(lambda c: _extract_one(c) if c else [])
+
+
+def with_sha(df: DataFrame) -> DataFrame:
+    """Attach the per-row content sha256 invariant (native, no UDF)."""
+    return df.withColumn("content_sha", F.sha2("content", 256))
+
+
+def extract_triples(source: DataFrame) -> DataFrame:
+    """source table -> mention-level triples with provenance.
+
+    Output columns: repo, path, commit, content_sha, subj, pred, obj.
+    The ``in_repo`` fact is emitted natively (it needs no content
+    inspection); content-derived facts come from the pandas UDF.
+    """
+    src = with_sha(source)
+    file_id = F.concat_ws("/", "repo", "path")
+    mentions = (
+        src.select(
+            "repo", "path", "commit", "content_sha",
+            file_id.alias("file_id"),
+            F.explode(extract_mentions("content")).alias("m"),
+        )
+        .select(
+            "repo", "path", "commit", "content_sha",
+            F.when(F.col("m.subj") == FILE, F.col("file_id")).otherwise(F.col("m.subj")).alias("subj"),
+            F.col("m.pred").alias("pred"),
+            F.when(F.col("m.obj") == FILE, F.col("file_id")).otherwise(F.col("m.obj")).alias("obj"),
+        )
+    )
+    in_repo = src.select(
+        "repo", "path", "commit", "content_sha",
+        file_id.alias("subj"),
+        F.lit("in_repo").alias("pred"),
+        F.col("repo").alias("obj"),
+    )
+    return mentions.unionByName(in_repo)

@@ -1,0 +1,94 @@
+"""Entity linking: score extracted mentions against a broadcast
+candidate dictionary and emit ``same_as`` links.
+
+north_star: "entity-link scoring against a broadcast candidate
+dictionary" — the dictionary is small relative to the corpus (entity
+vocabularies are ~1e6-1e8 rows vs 1e12 files), so the join is a
+broadcast hash join: zero shuffle of the mention table.
+
+Scoring is a vectorized pandas UDF (Arrow-batched): a deterministic
+string-affinity score in [0,1] between the mention surface form and
+the candidate surface, blended with the candidate's popularity prior.
+Exact matches always score 1.0 + prior, so closed-vocabulary fixtures
+link exactly. Best candidate per mention via max-struct aggregation
+(no window over the full mention table — a single partial-aggregatable
+groupBy, skew-safe since map-side combine absorbs hub surfaces).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+
+@pandas_udf(DoubleType())
+def link_score(mention: pd.Series, candidate: pd.Series, prior: pd.Series) -> pd.Series:
+    """Affinity(mention, candidate) + 0.001·prior, vectorized.
+
+    Affinity = |longest common prefix| / max(len) — cheap, monotone,
+    exact-match == 1.0. Computed on whole Arrow batches.
+    """
+    a = mention.fillna("")
+    b = candidate.fillna("")
+    # vectorized common-prefix length via numpy char comparison
+    import numpy as np
+
+    la = a.str.len().to_numpy()
+    lb = b.str.len().to_numpy()
+    out = np.zeros(len(a))
+    eq = (a == b).to_numpy()
+    out[eq] = 1.0
+    ne = ~eq
+    if ne.any():
+        sub_a = a[ne].to_numpy()
+        sub_b = b[ne].to_numpy()
+        lcp = np.array(
+            [_lcp(x, y) for x, y in zip(sub_a, sub_b)], dtype="float64"
+        )
+        out[ne] = lcp / np.maximum(la[ne], lb[ne]).clip(min=1)
+    return pd.Series(out + 0.001 * prior.fillna(0.0).to_numpy())
+
+
+def _lcp(x: str, y: str) -> int:
+    n = min(len(x), len(y))
+    i = 0
+    while i < n and x[i] == y[i]:
+        i += 1
+    return i
+
+
+def link_mentions(
+    mentions: DataFrame,
+    candidates: DataFrame,
+    min_score: float = 0.999,
+    surface_col: str = "surface",
+) -> DataFrame:
+    """Link distinct mention surfaces to their best candidate.
+
+    ``mentions``: any DataFrame with a ``mention`` column (distinct
+    surfaces — callers pass ``.select('mention').distinct()`` or rely
+    on the internal distinct here). ``candidates``:
+    (surface, entity_id, prior). Returns (mention, entity_id, score).
+    """
+    m = mentions.select("mention").distinct()
+    # broadcast the small dictionary; score every (mention, candidate)
+    # pair that shares a join key. Exact-surface is the primary key;
+    # a fuzzier blocking key (first 2 chars) catches near-misses
+    # without a full cross product.
+    cand = F.broadcast(candidates)
+    block = m.withColumn("_blk", F.substring("mention", 1, 2)).join(
+        cand.withColumn("_blk", F.substring(surface_col, 1, 2)), "_blk"
+    )
+    scored = block.select(
+        "mention",
+        "entity_id",
+        link_score(F.col("mention"), F.col(surface_col), F.col("prior")).alias("score"),
+    )
+    best = (
+        scored.groupBy("mention")
+        .agg(F.max(F.struct("score", F.col("entity_id"))).alias("b"))
+        .select("mention", F.col("b.entity_id").alias("entity_id"), F.col("b.score").alias("score"))
+    )
+    return best.filter(F.col("score") >= min_score)

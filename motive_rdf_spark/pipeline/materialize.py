@@ -1,0 +1,239 @@
+"""Pipeline orchestration + materialization: checkpoint-resumable per
+snapshot, with per-partition lineage and metrics tables (north_star:
+"checkpoint-resumable per Iceberg snapshot with per-partition lineage
+and metrics tables").
+
+Snapshot model: the source table's ``commit`` column is the snapshot
+id (an Iceberg snapshot maps to a set of commits in the graft's
+deployment; here commits ARE the increments). Layout under ``out_dir``
+(plain partitioned Parquet with the same snapshot/partition contract
+an Iceberg catalog would give; the writer is connector-agnostic):
+
+    triples/snapshot=<commit>/        final (s,p,o) long triples
+    node_dict/ pred_dict/             term <-> id (extended, never rewritten)
+    lineage/snapshot=<commit>/        per (repo) input/output row counts + sha checksum
+    metrics/snapshot=<commit>/        per stage: rows, wall seconds
+    ledger/                           processed-snapshot records (the checkpoint)
+
+Resume semantics: ``run_pipeline`` anti-joins the ledger — an already-
+processed snapshot is skipped entirely; a crashed run (snapshot
+partition written but no ledger row) is safely re-run because every
+per-snapshot write uses dynamic partition overwrite (idempotent).
+Dictionary extension is append-only: new terms get ids above the
+current max, so previously materialized snapshots never need
+re-encoding — the id assignment rule (lexicographic within a batch,
+batches ordered by arrival) stays deterministic given the snapshot
+processing order, which the ledger records.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from motive_rdf_spark.pipeline.canonicalize import canonical_entities, rewrite_triples
+from motive_rdf_spark.pipeline.encode import dense_ids, encode_triples
+from motive_rdf_spark.pipeline.extract import extract_triples
+from motive_rdf_spark.pipeline.link import link_mentions
+
+SAME_AS = "same_as"
+ENTITY_PREFIX = "entity::"
+
+
+@dataclass
+class SnapshotReport:
+    snapshot: str
+    n_files: int = 0
+    n_mentions: int = 0
+    n_triples: int = 0
+    stages: dict[str, float] = field(default_factory=dict)
+    skipped: bool = False
+
+
+def _write(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def processed_snapshots(spark: SparkSession, out_dir: str) -> set[str]:
+    """The checkpoint: snapshots with a committed ledger row."""
+    try:
+        return {
+            r["snapshot"]
+            for r in spark.read.parquet(f"{out_dir}/ledger").select("snapshot").distinct().collect()
+        }
+    except Exception:
+        return set()
+
+
+def extend_dict(existing: DataFrame | None, terms: DataFrame, col: str = "term") -> DataFrame:
+    """Append-only dictionary growth: terms not in ``existing`` get dense
+    ids starting at max(existing.id)+1, lexicographic within the batch."""
+    if existing is None:
+        return dense_ids(terms, col)
+    base = existing.agg(F.max("id")).collect()[0][0]
+    base = -1 if base is None else int(base)
+    fresh = terms.select(col).distinct().join(existing.select(col), col, "left_anti")
+    new_ids = dense_ids(fresh, col).withColumn("id", F.col("id") + F.lit(base + 1))
+    return existing.unionByName(new_ids)
+
+
+def _load_optional(spark: SparkSession, path: str) -> DataFrame | None:
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def build_string_triples(source_snap: DataFrame, candidates: DataFrame | None) -> DataFrame:
+    """Extract + link one snapshot: returns string-level triples
+    including ``same_as`` edges from entity linking."""
+    mentions = extract_triples(source_snap)
+    if candidates is None:
+        return mentions
+    call_objs = mentions.filter(F.col("pred") == "calls").select(F.col("obj").alias("mention"))
+    links = link_mentions(call_objs, candidates)
+    same_as = links.select(
+        F.lit(None).cast("string").alias("repo"),
+        F.lit(None).cast("string").alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("content_sha"),
+        F.col("mention").alias("subj"),
+        F.lit(SAME_AS).alias("pred"),
+        F.concat(F.lit(ENTITY_PREFIX), F.col("entity_id").cast("string")).alias("obj"),
+    )
+    return mentions.unionByName(same_as)
+
+
+def run_snapshot(
+    spark: SparkSession,
+    source: DataFrame,
+    candidates: DataFrame | None,
+    out_dir: str,
+    snapshot: str,
+) -> SnapshotReport:
+    """Process one snapshot end-to-end and commit it to the ledger."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    rep = SnapshotReport(snapshot)
+    src = source.filter(F.col("commit") == snapshot).persist()
+    rep.n_files = src.count()
+
+    t0 = time.time()
+    strs = build_string_triples(src, candidates).persist()
+    rep.n_mentions = strs.count()
+    rep.stages["extract_link"] = round(time.time() - t0, 3)
+
+    # --- dictionary extension (append-only, see module doc) -----------
+    t0 = time.time()
+    # localCheckpoint cuts the plan's file-source lineage so the dict
+    # paths can be overwritten below while the DF stays usable
+    node_dict = extend_dict(
+        _load_optional(spark, f"{out_dir}/node_dict"),
+        strs.select(F.col("subj").alias("term")).unionAll(strs.select(F.col("obj").alias("term"))),
+    ).localCheckpoint(eager=True)
+    pred_dict = extend_dict(
+        _load_optional(spark, f"{out_dir}/pred_dict"),
+        strs.select(F.col("pred").alias("term")),
+    ).localCheckpoint(eager=True)
+    # write-then-read keeps the next snapshot's base stable even if this
+    # one crashes after here (dict growth is idempotent on re-run)
+    _write(node_dict, f"{out_dir}/node_dict")
+    _write(pred_dict, f"{out_dir}/pred_dict")
+    rep.stages["encode_dict"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    enc, _, _ = encode_triples(
+        strs.select("subj", "pred", "obj"), node_dict=node_dict, pred_dict=pred_dict
+    )
+    enc = enc.persist()
+    same_as_id_row = pred_dict.filter(F.col("term") == SAME_AS).collect()
+    rep.stages["encode"] = round(time.time() - t0, 3)
+
+    # --- canonicalization (CC over same_as) ---------------------------
+    t0 = time.time()
+    if same_as_id_row:
+        said = int(same_as_id_row[0]["id"])
+        sa_edges = enc.filter(F.col("p") == said).select(
+            F.col("s").alias("src"), F.col("o").alias("dst")
+        )
+        mapping = canonical_entities(sa_edges)
+        final = rewrite_triples(enc.filter(F.col("p") != said), mapping)
+    else:
+        final = enc.select("s", "p", "o")
+    final = final.dropDuplicates().withColumn("snapshot", F.lit(snapshot))
+    _write(final, f"{out_dir}/triples", partition_by=["snapshot"])
+    rep.n_triples = spark.read.parquet(f"{out_dir}/triples").filter(
+        F.col("snapshot") == snapshot
+    ).count()
+    rep.stages["canonicalize_write"] = round(time.time() - t0, 3)
+
+    # --- lineage: per (snapshot, repo) counts + content checksum ------
+    lineage = (
+        strs.filter(F.col("repo").isNotNull())
+        .groupBy("repo")
+        .agg(
+            F.countDistinct("path").alias("n_files"),
+            F.count("*").alias("n_mentions"),
+            # order-insensitive checksum over per-row shas: xor via
+            # bit_xor of the sha's first 16 hex chars as a long
+            F.bit_xor(F.conv(F.substring("content_sha", 1, 15), 16, 10).cast("long")).alias("sha_xor"),
+        )
+        .withColumn("snapshot", F.lit(snapshot))
+    )
+    _write(lineage, f"{out_dir}/lineage", partition_by=["snapshot"])
+
+    # --- metrics ------------------------------------------------------
+    metrics_rows = [
+        (snapshot, stage, float(sec), int(rep.n_mentions)) for stage, sec in rep.stages.items()
+    ]
+    metrics = spark.createDataFrame(
+        metrics_rows, "snapshot string, stage string, seconds double, rows long"
+    )
+    _write(metrics, f"{out_dir}/metrics", partition_by=["snapshot"])
+
+    # --- ledger commit (the checkpoint) -------------------------------
+    ledger = spark.createDataFrame(
+        [(snapshot, rep.n_files, rep.n_triples, time.time())],
+        "snapshot string, n_files long, n_triples long, committed_at double",
+    )
+    _write(ledger, f"{out_dir}/ledger", mode="append")
+
+    src.unpersist(), strs.unpersist(), enc.unpersist()
+    return rep
+
+
+def run_pipeline(
+    spark: SparkSession,
+    source: DataFrame,
+    candidates: DataFrame | None,
+    out_dir: str,
+    snapshots: list[str] | None = None,
+    force: bool = False,
+) -> list[SnapshotReport]:
+    """Process every unprocessed snapshot, in deterministic (sorted)
+    order. Re-invocation after a crash resumes where the ledger left
+    off; ``force=True`` reprocesses (dynamic-overwrite, idempotent)."""
+    if snapshots is None:
+        snapshots = sorted(
+            r["commit"] for r in source.select("commit").distinct().collect()
+        )
+    done = set() if force else processed_snapshots(spark, out_dir)
+    reports = []
+    for snap in snapshots:
+        if snap in done:
+            reports.append(SnapshotReport(snap, skipped=True))
+            continue
+        reports.append(run_snapshot(spark, source, candidates, out_dir, snap))
+    return reports
+
+
+def load_graph(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The materialized KG across all snapshots, deduped (a triple
+    re-derived in a later snapshot is the same triple)."""
+    return (
+        spark.read.parquet(f"{out_dir}/triples").select("s", "p", "o").dropDuplicates()
+    )
