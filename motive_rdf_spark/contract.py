@@ -481,5 +481,29 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("motif_induction", None)
+def motif_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end motif induction (search.py): SA over a seeded planted
+    graph; returns the retained motif set (canonical pattern, score,
+    frequency). Deterministic: fixed seed, warm start, fixed iteration
+    budget. Iterative search is not SQL-expressible → rows-only check;
+    semantics pinned by tests/test_search.py."""
+    from motive_rdf_spark.data.generators import planted_graph
+    from motive_rdf_spark.patterns import Pattern
+    from motive_rdf_spark.search import SAConfig, SimAnnealing, by_score
+
+    pat = [(-1, 0, -2), (-1, 1, -3), (-2, 2, -3)]
+    g = planted_graph(spark, n=300, m=900, r=5, pattern_edges=pat, k=60, seed=3).persist()
+    g.count()
+    sa = SimAnnealing(g, SAConfig(iterations=8, seed=5), init_pattern=Pattern(pat))
+    state = sa.run()
+    rows = [
+        (str(r.pattern), float(round(r.score, 2)), int(r.frequency))
+        for r in by_score(state, 10)
+    ]
+    g.unpersist()
+    return spark.createDataFrame(rows, "pattern string, score double, frequency long")
+
+
 def registry() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_REG)
