@@ -481,6 +481,117 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data ops: dedup (Jaccard / MinHash / SimHash), similarity
+# search, multimodal plumbing (operators/dedup.py, similarity.py,
+# multimodal.py)
+# ---------------------------------------------------------------------------
+
+_NGRAM_JACCARD_SQL = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents
+), idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+  FROM words WHERE len(w) >= 3
+), grams AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', w[CAST(i AS INT)], w[CAST(i+1 AS INT)], w[CAST(i+2 AS INT)]) AS shingle
+  FROM idx
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), common AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS c
+  FROM grams g1 JOIN grams g2 USING (shingle)
+  WHERE g1.doc_id < g2.doc_id GROUP BY 1, 2
+)
+SELECT a, b, ROUND(c * 1.0 / (sa.sz + sb.sz - c), 4) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE c * 1.0 / (sa.sz + sb.sz - c) >= 0.5
+"""
+
+
+@q("ngram_jaccard", _NGRAM_JACCARD_SQL)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs via shingle inverted
+    index (no cross product)."""
+    from motive_rdf_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.size(F.split("text", r"\s+")) >= 3
+    )
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
+
+
+from motive_rdf_spark.operators.dedup import simhash_sql as _simhash_sql
+
+
+@q("simhash_fingerprint", _simhash_sql())
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (md5 bit votes), bit-for-bit equal
+    to the generated DuckDB oracle (simhash_sql)."""
+    from motive_rdf_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+@q("minhash_dedup", None)
+def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification
+    (xxhash64 family — not reproducible in ANSI SQL → rows-only;
+    value-correctness pinned by tests/test_trainops.py)."""
+    from motive_rdf_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+_COSINE_TOPK_SQL = """
+WITH u AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 100
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(q.e, c.e), 4) AS sim
+  FROM u q JOIN u c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@q("cosine_topk", _COSINE_TOPK_SQL)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors (exact ANN baseline)."""
+    from motive_rdf_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return cosine_topk(emb, emb, k=5)
+
+
+@q("lsh_ann", None)
+def lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (bucketed candidate scoring — the
+    scale path). xxhash64-seeded planes → rows-only check; recall and
+    sim-agreement pinned by tests/test_trainops.py."""
+    from motive_rdf_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return lsh_ann_topk(emb, emb, dim=dim, k=5)
+
+
+@q("multimodal_features", None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-media feature extraction plumbing (mapInPandas batches;
+    deterministic fake decoder — see operators/multimodal.py)."""
+    from motive_rdf_spark.operators.multimodal import extract_features, synthesize_media
+
+    return extract_features(synthesize_media(spark, 200), decode="fake").select(
+        "media_id", "modality", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )
+
+
 @q("motif_induction", None)
 def motif_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end motif induction (search.py): SA over a seeded planted

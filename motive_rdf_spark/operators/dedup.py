@@ -1,0 +1,249 @@
+"""Near-duplicate detection over the ``documents`` table — the
+training-data-pipeline operators a 100 TB corpus needs. All native
+Spark expressions (JVM-side, whole-stage-codegen); no Python in any
+hot path.
+
+- exact dedup            — hash-groupBy (contract.dedup_exact)
+- word n-grams           — shingling primitive
+- n-gram Jaccard         — exact pairwise similarity via shingle
+                           inverted index (explode → self-join →
+                           count), never a full cross product: only
+                           pairs sharing ≥1 shingle are generated
+- MinHash + LSH          — xxhash64-seeded minhash signatures, banded
+                           into buckets; candidate pairs come from
+                           bucket joins (the scale path: cost ~
+                           sum of bucket sizes², not n²)
+- SimHash                — md5-derived bit votes (md5 so the DuckDB
+                           oracle computes the identical fingerprint)
+
+Scale notes: the shingle inverted index is the classic skew hazard —
+a stop-shingle appearing in half the corpus creates a quadratic
+bucket. ``max_shingle_df`` drops shingles with document frequency
+above a cap (standard practice: such shingles carry no dedup signal),
+which bounds every bucket; AQE skew-join covers the residue.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+
+def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word n-grams per document: DataFrame[id_col, shingle].
+    Native: split + sequence + transform + explode."""
+    words = F.split(F.col(text_col), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    out = docs.select(F.col(id_col), F.explode(grams).alias("shingle")).filter(
+        F.length("shingle") > 0
+    )
+    return out.dropDuplicates([id_col, "shingle"])
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted-index join — no cross product)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """All document pairs (a < b) with n-gram Jaccard >= threshold.
+    Returns DataFrame[a, b, jaccard(double, 4dp)]."""
+    sh = word_ngrams(docs, n, id_col, text_col)
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        sh = sh.join(
+            df_counts.filter(F.col("df") <= max_shingle_df).select("shingle"), "shingle"
+        )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    return (
+        common.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 32, id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Per-doc minhash signature: DataFrame[id_col, sig array<long>].
+    Hash family h_i(x) = xxhash64(x, seed+i); one groupBy computes all
+    mins (partial-aggregatable — skew-safe)."""
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = shingles.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature into ``bands`` buckets; docs sharing any band
+    bucket become a candidate pair. DataFrame[a, b] (a < b, distinct)."""
+    # band i = hash of the slice sig[i*r : (i+1)*r]
+    sig_len_expr = F.size("sig")
+    banded = signatures.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.struct(
+                    i.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    "sig",
+                                    (i * (sig_len_expr / bands).cast("int")) + 1,
+                                    (sig_len_expr / bands).cast("int"),
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    l = banded.select(F.col(id_col).alias("a"), "band", "bucket")
+    r = banded.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .dropDuplicates()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash-LSH dedup: shingle → minhash → band-bucket join →
+    verify candidates with exact Jaccard. Returns [a, b, jaccard]."""
+    sh = word_ngrams(docs, n, id_col, text_col)
+    sig = minhash_signatures(sh, num_hashes, id_col, seed)
+    cand = lsh_candidate_pairs(sig, bands, id_col)
+    # exact verification only on candidates (semi-join reduction)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    common = (
+        cand.join(a, "a")
+        .join(b, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.col("common") / (F.col("sza") + F.col("szb") - F.col("common")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (md5-based so DuckDB computes the identical fingerprint)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over distinct words: word hash = first 8 hex chars
+    of md5(word); bit j of the fingerprint is set iff the sum of
+    (±1) votes from word-hash bit j is positive. DataFrame[id_col, sh].
+
+    md5 (not xxhash64) so the ANSI-SQL oracle reproduces fingerprints
+    bit-for-bit (contract.simhash_fingerprint)."""
+    words = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+    ).filter(F.length("w") > 0).dropDuplicates([id_col, "w"])
+    h = F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = words.groupBy(id_col).agg(*votes)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select(id_col, fp.alias("sh"))
+
+
+def simhash_sql(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    """The DuckDB oracle for :func:`simhash` — generated to mirror the
+    Spark expression term by term."""
+    votes = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(SIMHASH_BITS))
+    return f"""
+WITH words AS (
+  SELECT DISTINCT {id_col}, w
+  FROM (SELECT {id_col}, unnest(string_split_regex({text_col}, '\\s+')) AS w FROM {table})
+  WHERE length(w) > 0
+), hashed AS (
+  SELECT {id_col}, ('0x' || substring(md5(w), 1, 8))::UBIGINT AS h FROM words
+), voted AS (
+  SELECT {id_col},
+    {votes}
+  FROM hashed GROUP BY {id_col}
+)
+SELECT {id_col}, CAST({fp} AS BIGINT) AS sh FROM voted
+"""

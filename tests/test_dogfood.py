@@ -1,0 +1,75 @@
+"""Dogfood golden counts — the reference's own dataset and BGP queries
+(FindTest.testDogfood, FindTest.java:280-365; rdflib oracle
+src/test/resources/python/test_rdflib.py):
+
+  q1  ?p year ?y . ?p type InProc   -> 3,307
+  q2  ?p year ?y . ?p ?t  InProc    -> 3,307
+  q3  ?p ?t ?y   . ?p type InProc   -> 77,897 (under node-var
+      injectivity + per-edge triple distinctness; rdflib's plain
+      DISTINCT count is 81,855)
+
+Matching all three — especially q3, where the two semantics differ —
+is direct evidence the matcher reproduces the reference's BGP
+semantics on a real 242k-triple graph.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from motive_rdf_spark.operators.bgp import find, prepare_triples
+from motive_rdf_spark.patterns import Pattern
+from motive_rdf_spark.sources.ntriples import encode_graph, read_ntriples, term_id
+
+DOGFOOD = "/root/reference/src/main/resources/data/swdf-2012-11-28.nt.gz"
+
+YEAR = "<http://swrc.ontoware.org/ontology#year>"
+TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+INPROC = "<http://swrc.ontoware.org/ontology#InProceedings>"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(DOGFOOD), reason="dogfood dataset not available"
+)
+
+
+@pytest.fixture(scope="module")
+def dogfood(spark):
+    nt = read_ntriples(spark, DOGFOOD)
+    triples, node_dict, pred_dict = encode_graph(nt)
+    triples = prepare_triples(triples).persist()
+    n = triples.count()
+    assert n == 242_256  # SynthRep.java:48-49 / file line count
+    consts = {
+        "year": term_id(pred_dict, YEAR),
+        "type": term_id(pred_dict, TYPE),
+        "inproc": term_id(node_dict, INPROC),
+    }
+    yield triples, consts
+    triples.unpersist()
+
+
+def test_dogfood_dims(spark, dogfood):
+    triples, _ = dogfood
+    # 170 relations (SynthRep.java:49)
+    assert triples.select("p").distinct().count() == 170
+
+
+def test_dogfood_q1(spark, dogfood):
+    triples, c = dogfood
+    pat = Pattern([(-1, c["year"], -2), (-1, c["type"], c["inproc"])])
+    assert find(triples, pat).count() == 3_307
+
+
+def test_dogfood_q2(spark, dogfood):
+    triples, c = dogfood
+    pat = Pattern([(-1, c["year"], -2), (-1, -3, c["inproc"])])
+    assert find(triples, pat).count() == 3_307
+
+
+def test_dogfood_q3(spark, dogfood):
+    triples, c = dogfood
+    pat = Pattern([(-1, -3, -2), (-1, c["type"], c["inproc"])])
+    assert find(triples, pat).count() == 77_897

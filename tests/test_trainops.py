@@ -1,0 +1,149 @@
+"""Training-data operator tests: dedup (n-gram Jaccard, MinHash-LSH,
+SimHash), similarity search (brute-force + LSH ANN), multimodal
+plumbing. Exactness is pinned against hand-computed values, the DuckDB
+oracle, or the brute-force baseline."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from motive_rdf_spark.operators.dedup import (
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_sql,
+    word_ngrams,
+)
+from motive_rdf_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+from motive_rdf_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _docs(spark, sf=SF_SMALL):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def test_ngram_jaccard_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),       # grams: abc bcd cde
+            (2, "a b c d x"),       # grams: abc bcd cdx  -> |∩|=2 |∪|=4 -> 0.5
+            (3, "q r s t u"),       # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    assert pairs == {(1, 2): 0.5}
+
+
+def test_minhash_finds_exact_dups_and_matches_jaccard(spark):
+    docs = _docs(spark)
+    exact = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=None).collect()
+    }
+    mh = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    # LSH verification step computes TRUE jaccard -> values must agree
+    for pair, j in mh.items():
+        assert pair in exact and abs(exact[pair] - j) < 1e-9
+    # recall: high-similarity pairs are almost never missed by 8x4 bands
+    high = {p for p, j in exact.items() if j >= 0.8}
+    found = set(mh) & high
+    if high:
+        assert len(found) / len(high) >= 0.9
+
+
+def test_simhash_matches_duckdb_oracle(spark):
+    docs = _docs(spark)
+    got = {r["doc_id"]: r["sh"] for r in simhash(docs).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_SMALL}/documents.parquet'"
+    )
+    exp = {r[0]: r[1] for r in con.execute(simhash_sql()).fetchall()}
+    assert got == exp
+
+
+def test_simhash_identical_docs_collide(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "zzz yyy xxx www")],
+        "doc_id long, text string",
+    )
+    sh = {r["doc_id"]: r["sh"] for r in simhash(docs).collect()}
+    assert sh[1] == sh[2] and sh[1] != sh[3]
+
+
+def test_cosine_topk_known_neighbors(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),   # closest to 0
+            (2, [0.0, 1.0]),
+            (3, [-1.0, 0.0]),  # opposite of 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    top = cosine_topk(vecs, vecs, k=1)
+    best = {r["query_id"]: r["neighbor_id"] for r in top.collect()}
+    assert best[0] == 1 and best[1] == 0 and best[3] == 2  # 3⊥2 beats 3·0=-1
+
+
+def test_lsh_ann_finds_planted_clone(spark):
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(40)
+    dim = len(emb.select("embedding").first()[0])
+    # plant an exact clone of each vector under id+10000: same bucket,
+    # cosine 1.0 -> must be the ANN top-1
+    clones = emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(clones)
+    ann = lsh_ann_topk(emb, corpus, dim=dim, k=1)
+    rows = {r["query_id"]: (r["neighbor_id"], r["sim"]) for r in ann.collect()}
+    for qid, (nid, sim) in rows.items():
+        assert nid == qid + 10000 and sim == pytest.approx(1.0, abs=1e-3)
+    assert len(rows) == 40
+    # ANN sims agree with brute force on shared pairs
+    bf = cosine_topk(emb, corpus, k=1)
+    bf_rows = {r["query_id"]: (r["neighbor_id"], r["sim"]) for r in bf.collect()}
+    assert bf_rows == rows
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = synthesize_media(spark, 30)
+    feats = extract_features(media, decode="fake").collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert r["n_bytes"] == 64  # sha2 hex cast to binary = 64 bytes
+    # deterministic across runs
+    again = {r["media_id"]: tuple(r["feature"]) for r in extract_features(media, decode="fake").collect()}
+    assert again == {r["media_id"]: tuple(r["feature"]) for r in feats}
+
+
+def test_multimodal_strict_is_marked_stub(spark):
+    media = synthesize_media(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|real media codecs"):
+        extract_features(media, decode="strict").collect()
+
+
+def test_frame_sample_plan_grid(spark):
+    media = synthesize_media(spark, 50)
+    plan = frame_sample_plan(media, every_ms=1000)
+    joined = (
+        plan.groupBy("media_id")
+        .agg(F.count("*").alias("frames"))
+        .join(media.select("media_id", F.col("meta.duration_ms").alias("d")), "media_id")
+        .collect()
+    )
+    assert joined  # some media are videos
+    for r in joined:
+        assert r["frames"] == max(r["d"] - 1, 0) // 1000 + 1
