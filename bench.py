@@ -3,7 +3,9 @@
 ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line.
 
 Metric: total wall seconds over the headline set, plus per-query
-seconds and derived triples/sec for the KG-construction path.
+seconds and construction throughput (triples/sec) for the KG pipeline
+— the north_rule's primary number. Scaling evidence across
+parallelism levels lives in tools/scaling_bench.py → BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -40,6 +42,12 @@ def main() -> None:
         "sessionize",
         "dedup_exact",
         "embedding_norm",
+        "ngram_jaccard",
+        "simhash_fingerprint",
+        "minhash_dedup",
+        "lsh_ann",
+        "cosine_topk",
+        "streaming_windowed_counts",
     ]
     reg = registry()
     timings: dict[str, float] = {}
@@ -54,13 +62,37 @@ def main() -> None:
         rows[name] = df.count()
         timings[name] = round(time.time() - t0, 3)
 
-    # KG-construction throughput: triples materialized per second
+    # KG-construction throughput over the TPC-H star schema view
     from motive_rdf_spark.kg_tpch import triples_view
 
     t0 = time.time()
     n_triples = triples_view(spark, sf_dir).count()
+    timings["kg_construct_tpch"] = round(time.time() - t0, 3)
+
+    # KG-construction pipeline throughput (north_rule metric):
+    # synthesized source table -> extract -> link -> encode ->
+    # canonicalize, in memory
+    from pyspark.sql import functions as F
+
+    from motive_rdf_spark.data.generators import candidate_dict, source_code_table
+    from motive_rdf_spark.pipeline.canonicalize import canonical_entities, rewrite_triples
+    from motive_rdf_spark.pipeline.encode import encode_triples
+    from motive_rdf_spark.pipeline.materialize import SAME_AS, build_string_triples
+
+    pipe_rows = int(os.environ.get("SPARK_GRAFT_PIPE_ROWS", "100000"))
+    src = source_code_table(spark, pipe_rows).drop("k").persist()
+    src.count()
+    t0 = time.time()
+    strs = build_string_triples(src, candidate_dict(spark, pipe_rows)).persist()
+    enc, _, pred_dict = encode_triples(strs.select("subj", "pred", "obj"))
+    enc = enc.persist()
+    said = pred_dict.filter(F.col("term") == SAME_AS).collect()
+    sid = int(said[0]["id"])
+    sa = enc.filter(F.col("p") == sid).select(F.col("s").alias("src"), F.col("o").alias("dst"))
+    final = rewrite_triples(enc.filter(F.col("p") != sid), canonical_entities(sa))
+    pipe_triples = final.count()
     construct_sec = time.time() - t0
-    timings["kg_construct"] = round(construct_sec, 3)
+    timings["kg_construct_pipeline"] = round(construct_sec, 3)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -72,8 +104,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "rows": rows,
-                "triples": n_triples,
-                "triples_per_sec": round(n_triples / max(construct_sec, 1e-9), 1),
+                "triples": pipe_triples,
+                "triples_per_sec": round(pipe_triples / max(construct_sec, 1e-9), 1),
+                "pipeline_source_rows": pipe_rows,
+                "tpch_triples": n_triples,
                 "cpus": int(cpus),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -407,6 +407,123 @@ def embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", F.round(F.sqrt(sq), 4).alias("l2"))
 
 
+@q(
+    "lang_id",
+    """SELECT doc_id,
+       CASE WHEN en >= de AND en >= fr THEN 'en'
+            WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang
+FROM (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w IN ('the','and','of','to','in'))) AS en,
+         len(list_filter(string_split(text, ' '), w -> w IN ('der','die','und','das','ist'))) AS de,
+         len(list_filter(string_split(text, ' '), w -> w IN ('le','la','et','les','des'))) AS fr
+  FROM documents)""",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic: per-language stopword hit
+    counts, argmax with deterministic tie-break (en > de > fr)."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ", -1)
+
+    def hits(sw: list[str]) -> F.Column:
+        arr = F.array(*[F.lit(w) for w in sw])
+        return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+    en = hits(["the", "and", "of", "to", "in"])
+    de = hits(["der", "die", "und", "das", "ist"])
+    fr = hits(["le", "la", "et", "les", "des"])
+    lang = (
+        F.when((en >= de) & (en >= fr), "en").when(de >= fr, "de").otherwise("fr")
+    )
+    return docs.select("doc_id", lang.alias("lang"))
+
+
+@q(
+    "doc_rolling_hash",
+    """SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(7 AS BIGINT),
+           list_transform(string_split(text, ' '),
+                          w -> ('0x' || substring(md5(w), 1, 8))::BIGINT)),
+         (a, b) -> (a * 31 + b) % 1000000007) AS rh
+FROM documents""",
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint over word md5s —
+    order-sensitive (unlike the md5-of-text fingerprint), reproduced
+    exactly by the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ", -1)
+    wh = F.transform(words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"))
+    rh = F.aggregate(
+        wh,
+        F.lit(7).cast("long"),
+        lambda acc, x: F.pmod(acc * 31 + x, F.lit(1_000_000_007)),
+    )
+    return docs.select("doc_id", rh.alias("rh"))
+
+
+@q(
+    "running_user_value",
+    """SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+FROM events""",
+)
+def running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame: per-user running total (rows-frame, deterministic
+    tie-break by event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select("event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("running"))
+
+
+@q(
+    "revenue_rollup",
+    """SELECT COALESCE(CAST(n_regionkey AS VARCHAR), 'ALL') AS region,
+       COALESCE(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY ROLLUP (n_regionkey, c_nationkey)""",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (region -> nation -> total) over the star
+    schema; broadcast dims, partial aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).join(
+        n, c["c_nationkey"] == n["n_nationkey"]
+    )
+    return (
+        j.rollup("n_regionkey", "c_nationkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce(F.col("n_regionkey").cast("string"), F.lit("ALL")).alias("region"),
+            F.coalesce(F.col("c_nationkey").cast("string"), F.lit("ALL")).alias("nation"),
+            "revenue",
+        )
+    )
+
+
+@q("query_log_bgps", None)
+def query_log_bgps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL query-log scan (exec/Queries.java:39-97): url_decode +
+    regexp WHERE-body extraction over a seeded synthetic log."""
+    from motive_rdf_spark.sources.querylog import extract_bgps, synthesize_query_log
+
+    log = synthesize_query_log(spark, 200).select(
+        F.url_decode(F.col("value")).alias("query")
+    )
+    return extract_bgps(log).groupBy("n_triple_patterns").agg(F.count("*").alias("n"))
+
+
 # ---------------------------------------------------------------------------
 # KG-construction pipeline (north_star): synthesized source-code table →
 # extract → link → canonicalize. Generators are seeded/deterministic but
@@ -468,7 +585,7 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_rdf_spark.pipeline.materialize import SAME_AS, build_string_triples
 
     src = source_code_table(spark, _PIPE_ROWS, commits=2).drop("k")
-    strs = build_string_triples(src, candidate_dict(spark, _PIPE_ROWS))
+    strs = build_string_triples(src, candidate_dict(spark, _PIPE_ROWS)).persist()
     enc, _, pred_dict = encode_triples(strs.select("subj", "pred", "obj"))
     said = pred_dict.filter(F.col("term") == SAME_AS).collect()[0]["id"]
     sa = enc.filter(F.col("p") == said).select(F.col("s").alias("src"), F.col("o").alias("dst"))
@@ -590,6 +707,31 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthesize_media(spark, 200), decode="fake").select(
         "media_id", "modality", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
     )
+
+
+@q(
+    "streaming_windowed_counts",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2""",
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming watermarked window agg, drained with
+    Trigger.AvailableNow into a memory sink — the streamed result must
+    equal the plain-SQL batch oracle (streaming/incremental.py)."""
+    import tempfile
+    import uuid
+
+    from motive_rdf_spark.streaming.incremental import (
+        run_available_now,
+        stream_events,
+        windowed_event_counts,
+    )
+
+    name = f"swc_{uuid.uuid4().hex[:8]}"
+    agg = windowed_event_counts(stream_events(spark, sf_dir))
+    run_available_now(agg, tempfile.mkdtemp(prefix="swc_ckpt_"), name)
+    return spark.table(name)
 
 
 @q("motif_induction", None)

@@ -92,13 +92,27 @@ def encode_triples(
     by the provided dictionary would get null ids — callers extend
     dictionaries first (see materialize.extend_dict).
     """
-    if node_dict is None:
-        nodes = mention_triples.select(F.col("subj").alias("term")).unionAll(
-            mention_triples.select(F.col("obj").alias("term"))
-        )
-        node_dict = dense_ids(nodes, "term")
-    if pred_dict is None:
-        pred_dict = dense_ids(mention_triples.select(F.col("pred").alias("term")), "term")
+    # build missing dictionaries CONCURRENTLY (driver threads sharing
+    # the session): each dense_ids run is a short chain of jobs, and
+    # Spark schedules both chains' stages across executors at once —
+    # halving the sequential per-job latency on the critical path
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = {}
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        if node_dict is None:
+            nodes = mention_triples.select(F.col("subj").alias("term")).unionAll(
+                mention_triples.select(F.col("obj").alias("term"))
+            )
+            jobs["node"] = pool.submit(dense_ids, nodes, "term")
+        if pred_dict is None:
+            jobs["pred"] = pool.submit(
+                dense_ids, mention_triples.select(F.col("pred").alias("term")), "term"
+            )
+    if "node" in jobs:
+        node_dict = jobs["node"].result()
+    if "pred" in jobs:
+        pred_dict = jobs["pred"].result()
 
     bs = node_dict.select(F.col("term").alias("subj"), F.col("id").alias("s"))
     bo = node_dict.select(F.col("term").alias("obj"), F.col("id").alias("o"))

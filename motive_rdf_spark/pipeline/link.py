@@ -64,23 +64,45 @@ def link_mentions(
     candidates: DataFrame,
     min_score: float = 0.999,
     surface_col: str = "surface",
+    fuzzy: bool = True,
 ) -> DataFrame:
     """Link distinct mention surfaces to their best candidate.
 
-    ``mentions``: any DataFrame with a ``mention`` column (distinct
-    surfaces — callers pass ``.select('mention').distinct()`` or rely
-    on the internal distinct here). ``candidates``:
-    (surface, entity_id, prior). Returns (mention, entity_id, score).
+    ``mentions``: any DataFrame with a ``mention`` column.
+    ``candidates``: (surface, entity_id, prior). Returns
+    (mention, entity_id, score).
+
+    Two tiers, sized for skewed real corpora:
+
+    1. **exact surface hit** — broadcast hash join on the full surface
+       string; the overwhelmingly common case, zero Python, linear.
+    2. **fuzzy residual** — only mentions with NO exact hit are blocked
+       (first 4 chars + length bucket — a coarse-prefix block like
+       "first 2 chars" degenerates quadratically when every mention
+       shares a prefix, the classic entity-linking skew trap) and
+       scored by the vectorized pandas UDF; best candidate per mention
+       via max-struct aggregation (partial-aggregatable, skew-safe).
     """
     m = mentions.select("mention").distinct()
-    # broadcast the small dictionary; score every (mention, candidate)
-    # pair that shares a join key. Exact-surface is the primary key;
-    # a fuzzier blocking key (first 2 chars) catches near-misses
-    # without a full cross product.
     cand = F.broadcast(candidates)
-    block = m.withColumn("_blk", F.substring("mention", 1, 2)).join(
-        cand.withColumn("_blk", F.substring(surface_col, 1, 2)), "_blk"
+    exact = m.join(cand, m["mention"] == cand[surface_col]).select(
+        "mention",
+        "entity_id",
+        (F.lit(1.0) + 0.001 * F.coalesce(F.col("prior"), F.lit(0.0))).alias("score"),
     )
+    if not fuzzy:
+        return exact.filter(F.col("score") >= min_score)
+
+    rest = m.join(exact.select("mention"), "mention", "left_anti")
+    blk_m = F.struct(
+        F.substring("mention", 1, 4).alias("pfx"),
+        (F.length("mention") / 4).cast("int").alias("lb"),
+    )
+    blk_c = F.struct(
+        F.substring(surface_col, 1, 4).alias("pfx"),
+        (F.length(surface_col) / 4).cast("int").alias("lb"),
+    )
+    block = rest.withColumn("_blk", blk_m).join(cand.withColumn("_blk", blk_c), "_blk")
     scored = block.select(
         "mention",
         "entity_id",
@@ -91,4 +113,4 @@ def link_mentions(
         .agg(F.max(F.struct("score", F.col("entity_id"))).alias("b"))
         .select("mention", F.col("b.entity_id").alias("entity_id"), F.col("b.score").alias("score"))
     )
-    return best.filter(F.col("score") >= min_score)
+    return exact.unionByName(best).filter(F.col("score") >= min_score)

@@ -1,0 +1,77 @@
+"""Motif-set scoring + multi-pattern search tests
+(MotifCode.pruneValues / SimAnnealingMulti / GAMulti semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from motive_rdf_spark.data.generators import hub_graph, planted_graph
+from motive_rdf_spark.operators.bgp import find
+from motive_rdf_spark.operators.mdl_ops import null_bits
+from motive_rdf_spark.operators.motifset import (
+    entropy_sorted,
+    prune_values,
+    score_motif_set,
+    sort_patterns,
+)
+from motive_rdf_spark.patterns import Pattern
+from motive_rdf_spark.search_multi import GAConfig, GAMulti, MultiConfig, SimAnnealingMulti
+
+TRIANGLE = [(-1, 0, -2), (-1, 1, -3), (-2, 2, -3)]
+
+
+def test_prune_values_shared_seen():
+    # two identical patterns: the second claims nothing the first took
+    pat = Pattern([(-1, 0, -2)])
+    matches = [[1, 2], [3, 4]]
+    kept = prune_values([pat, pat], [matches, matches])
+    assert kept[0] == [[1, 2], [3, 4]]
+    assert kept[1] == []  # all triples already claimed
+
+
+def test_motif_set_score_beats_null_on_planted(spark):
+    g = planted_graph(spark, n=300, m=900, r=5, pattern_edges=TRIANGLE, k=60, seed=3).persist()
+    g.count()
+    nb = null_bits(g)
+    sc = score_motif_set(g, [Pattern(TRIANGLE)])
+    assert sc.total < nb
+    assert sc.per_pattern_freq[0] >= 60
+    # adding a junk pattern must not help (it costs pattern bits)
+    sc2 = score_motif_set(g, [Pattern(TRIANGLE), Pattern([(-1, 4, -2)])])
+    assert sc2.total >= sc.total - 1e-6 or sc2.total < nb
+    g.unpersist()
+
+
+def test_sort_patterns_deterministic():
+    a = Pattern([(-1, 0, -3), (-2, 0, -3)])
+    b = Pattern([(-1, 1, -2)])
+    assert sort_patterns([a, b]) == sort_patterns([b, a])
+
+
+def test_sa_multi_smoke(spark):
+    g = hub_graph(spark, 60).persist()
+    g.count()
+    sam = SimAnnealingMulti(g, MultiConfig(iterations=10, seed=4))
+    state = sam.run()
+    assert state.best and state.best_score < float("inf")
+    g.unpersist()
+
+
+def test_ga_multi_smoke(spark):
+    g = hub_graph(spark, 60).persist()
+    g.count()
+    ga = GAMulti(g, GAConfig(population=6, generations=2, seed=8))
+    best, score = ga.run()
+    assert best and score < float("inf")
+    g.unpersist()
+
+
+def test_entropy_sorted_column_order(spark):
+    # v1 constant (entropy 0), v2 uniform (max entropy) -> v2 first
+    df = spark.createDataFrame(
+        [(7, i) for i in range(16)], "v1 long, v2 long"
+    )
+    out = entropy_sorted(df)
+    assert out.columns == ["v2", "v1"]
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == sorted(rows)
