@@ -39,7 +39,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return kg_tpch.triples_view(spark, sf_dir)
+    return kg_tpch.prepared_triples(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -67,6 +67,23 @@ def triples_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.dropDuplicates()
 
 
+# graph-load is once-per-dataset in a real deployment; repeated contract/
+# bench queries reuse the prepared (deduped + triple-id'd) cached graph
+_PREPARED: dict[tuple[int, str], DataFrame] = {}
+
+
+def prepared_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KG with the matcher's triple-id column, deduped once and
+    cached per (session, dataset) — the Spark analog of KGraph's
+    load-once in-memory graph (KGraph.java:126-145)."""
+    from motive_rdf_spark.operators.bgp import prepare_triples
+
+    key = (id(spark), sf_dir)
+    if key not in _PREPARED:
+        _PREPARED[key] = prepare_triples(triples_view(spark, sf_dir)).persist()
+    return _PREPARED[key]
+
+
 # Matching DuckDB CTE — byte-equivalent semantics to triples_view().
 TRIPLES_CTE = """
 WITH triples AS (
