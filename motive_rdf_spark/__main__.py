@@ -1,0 +1,185 @@
+"""CLI entry point mirroring the reference's ``exec/Run`` interface
+(Run.java:44-208; README.md:19-22):
+
+    python -m motive_rdf_spark --experiment real-world \
+        --data dogfood --iterations 100000 --topk 100 --max-time 5
+
+Experiments (Run.java:156-208):
+  real-world  — SA motif search on a dataset; writes
+                motifs-byscore.{latex,csv} / motifs-byfreq.{latex,csv}
+                (RealWorld.java:42-121)
+  synth-rep   — planted-motif recovery sweep over graph shapes ×
+                injection counts; writes synthrep.csv
+                (SynthRep.java:66-105)
+  multi       — motif-set SA (SimAnnealingMulti; Multi.java)
+  construct   — the graft's KG-construction pipeline over a source
+                table (parquet dir with repo/path/commit/lang/content)
+
+Datasets: ``dogfood`` (the reference's own .nt.gz, if present), any
+``*.nt``/``*.nt.gz`` path, ``hub:<n>`` / ``chain:<n>`` /
+``planted:<n>,<m>,<r>,<k>`` synthetic specs.
+
+The ``--max-time`` seconds budget maps to a per-candidate match-row
+budget (``max_matches = 40_000 × max_time``) — the same contract as
+Find's wall-clock cap (Find.java:59-69): bounded work per candidate,
+partial results allowed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+DOGFOOD = "/root/reference/src/main/resources/data/swdf-2012-11-28.nt.gz"
+
+
+def load_dataset(spark, spec: str):
+    from pyspark.sql import functions as F
+
+    from motive_rdf_spark.data.generators import chain_graph, hub_graph, planted_graph
+    from motive_rdf_spark.operators.bgp import prepare_triples
+    from motive_rdf_spark.sources.ntriples import encode_graph, read_ntriples
+
+    node_names = pred_names = None
+    if spec == "dogfood" or spec.endswith((".nt", ".nt.gz")):
+        path = DOGFOOD if spec == "dogfood" else spec
+        nt = read_ntriples(spark, path)
+        triples, node_dict, pred_dict = encode_graph(nt)
+        node_names = {r["id"]: r["term"] for r in node_dict.collect()}
+        pred_names = {r["id"]: r["term"] for r in pred_dict.collect()}
+    elif spec.startswith("hub:"):
+        triples = hub_graph(spark, int(spec[4:]))
+    elif spec.startswith("chain:"):
+        triples = chain_graph(spark, int(spec[6:]))
+    elif spec.startswith("planted:"):
+        n, m, r, k = (int(x) for x in spec[8:].split(","))
+        triples = planted_graph(
+            spark, n, m, r, pattern_edges=[(-1, 0, -2), (-1, 1, -3), (-2, 2, -3)], k=k
+        )
+    else:
+        raise SystemExit(f"unknown dataset spec: {spec}")
+    t = prepare_triples(triples).persist()
+    t.count()
+    return t, node_names, pred_names
+
+
+def real_world(args, spark) -> None:
+    from motive_rdf_spark.search import SAConfig, by_frequency, by_score, sa_parallel
+    from motive_rdf_spark.operators.mdl_ops import null_bits
+    from motive_rdf_spark import report
+
+    triples, node_names, pred_names = load_dataset(spark, args.data)
+    nb = null_bits(triples)
+    cfg = SAConfig(
+        iterations=args.iterations,
+        alpha=args.alpha,
+        max_matches=40_000 * max(args.max_time, 1),
+        seed=args.seed,
+    )
+    state = sa_parallel(triples, chains=args.threads, config=cfg)
+    names = {"node_names": node_names, "pred_names": pred_names}
+    for tag, results in (
+        ("byscore", by_score(state, args.topk)),
+        ("byfreq", by_frequency(state, args.topk)),
+    ):
+        with open(os.path.join(args.output, f"motifs-{tag}.latex"), "w") as f:
+            f.write(report.to_latex(results, nb, **names))
+        with open(os.path.join(args.output, f"motifs-{tag}.csv"), "w") as f:
+            f.write(report.to_csv(results, nb, **names))
+    print(f"null bits: {nb:.1f}; retained motifs: {len(state.results)}; "
+          f"patterns beating null: {state.num_pos}")
+
+
+def synth_rep(args, spark) -> None:
+    """Planted-recovery sweep (SynthRep.Run.run, SynthRep.java:167-242):
+    for each injection count, generate base+instances, find, prune,
+    score; one CSV row per cell."""
+    import csv
+
+    from motive_rdf_spark.data.generators import planted_graph
+    from motive_rdf_spark.operators.bgp import find, prepare_triples
+    from motive_rdf_spark.operators.mdl_ops import null_bits, score_motif
+    from motive_rdf_spark.operators import degrees as deg
+    from motive_rdf_spark.operators.prune import prune_matches
+    from motive_rdf_spark.patterns import Pattern
+
+    pat = Pattern([(-1, 0, -2), (-1, 1, -3), (-2, 2, -3)])
+    rows = []
+    for k in args.instances:
+        g = prepare_triples(
+            planted_graph(spark, args.nodes, args.links, args.relations,
+                          list(pat.edges), k, seed=args.seed or 0)
+        ).persist()
+        n, m, r = deg.graph_dims(g)
+        nb = null_bits(g)
+        matches = [list(x) for x in find(g, pat).collect()]
+        matches.sort()
+        kept = prune_matches(pat, matches)
+        cols = [f"v{i+1}" for i in range(pat.num_vars)]
+        kept_df = spark.createDataFrame(
+            [tuple(x) for x in kept], ", ".join(f"{c} long" for c in cols)
+        )
+        sc = score_motif(g, pat, kept_df, n, m, r)
+        rows.append([k, len(matches), len(kept), round(nb, 2), round(sc.total, 2),
+                     round(nb - sc.total, 2)])
+        g.unpersist()
+        print(f"k={k}: matches={len(matches)} kept={len(kept)} saved={nb - sc.total:.1f} bits")
+    with open(os.path.join(args.output, "synthrep.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["instances", "matches", "pruned", "null_bits", "motif_bits", "log_factor"])
+        w.writerows(rows)
+
+
+def multi(args, spark) -> None:
+    from motive_rdf_spark.search_multi import MultiConfig, SimAnnealingMulti
+
+    triples, *_ = load_dataset(spark, args.data)
+    state = SimAnnealingMulti(
+        triples, MultiConfig(iterations=args.iterations, seed=args.seed)
+    ).run()
+    print(f"best motif set ({len(state.best)} patterns, {state.best_score:.1f} bits):")
+    for p in state.best:
+        print("  ", p)
+
+
+def construct(args, spark) -> None:
+    from motive_rdf_spark.pipeline.materialize import run_pipeline
+
+    source = spark.read.parquet(args.data)
+    cands = spark.read.parquet(args.candidates) if args.candidates else None
+    reports = run_pipeline(spark, source, cands, args.output)
+    for rep in reports:
+        status = "skipped (ledger)" if rep.skipped else f"{rep.n_triples} triples"
+        print(f"snapshot {rep.snapshot}: {status}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="motive_rdf_spark")
+    ap.add_argument("--experiment", required=True,
+                    choices=["real-world", "synth-rep", "multi", "construct"])
+    ap.add_argument("--data", default="dogfood")
+    ap.add_argument("--candidates", default=None)
+    ap.add_argument("--iterations", type=int, default=1000)  # Run.java:107 default 10M
+    ap.add_argument("--topk", type=int, default=100)  # Run.java:112
+    ap.add_argument("--max-time", type=int, default=25)  # Run.java:87
+    ap.add_argument("--alpha", type=float, default=0.5)
+    ap.add_argument("--threads", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--output", default=".")
+    ap.add_argument("--nodes", type=int, default=5000)
+    ap.add_argument("--links", type=int, default=10000)
+    ap.add_argument("--relations", type=int, default=10)
+    ap.add_argument("--instances", type=int, nargs="+", default=[0, 10, 100])
+    args = ap.parse_args()
+
+    from motive_rdf_spark.session import get_spark
+
+    spark = get_spark(app_name=f"motive-rdf-{args.experiment}")
+    spark.sparkContext.setLogLevel("ERROR")
+    {"real-world": real_world, "synth-rep": synth_rep, "multi": multi,
+     "construct": construct}[args.experiment](args, spark)
+
+
+if __name__ == "__main__":
+    main()

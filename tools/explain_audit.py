@@ -1,0 +1,107 @@
+"""Physical-plan audit: `.explain("formatted")` every headline query
+and check the properties that matter at 100 TB — filter pushdown to
+the parquet scan, column pruning (ReadSchema), broadcast of small
+sides, exchange (shuffle) counts — and write EXPLAIN.md.
+
+Usage: python tools/explain_audit.py [name ...]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+AUDITED = [
+    "bgp_vee",
+    "bgp_chain",
+    "triple_lookup",
+    "degrees_in",
+    "q1_pricing_summary",
+    "top_customers",
+    "revenue_rollup",
+    "sessionize",
+    "ngram_jaccard",
+    "minhash_dedup",
+    "simhash_fingerprint",
+    "lsh_ann",
+    "dict_encode",
+    "running_user_value",
+]
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(name: str, plan: str) -> dict:
+    return {
+        "exchanges": plan.count("Exchange"),
+        "bcast_joins": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "scans": plan.count("Scan parquet"),
+        "pushed": bool(re.search(r"PushedFilters: \[(?!\])", plan)),
+        "pruned_schema": "ReadSchema" in plan,
+        "pyudf": plan.count("ArrowEvalPython") + plan.count("MapInPandas") + plan.count("BatchEvalPython"),
+        "rowudf": plan.count("BatchEvalPython"),
+    }
+
+
+def main(names: list[str]) -> None:
+    sys.path.insert(0, REPO)
+    from motive_rdf_spark.contract import registry
+    from motive_rdf_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions="8")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = registry()
+
+    lines = [
+        "# EXPLAIN audit — physical-plan properties of the headline queries",
+        "",
+        f"`explain('formatted')` at `{SF}`. Checked: shuffle (Exchange)",
+        "count, broadcast vs sort-merge joins, parquet scan count, filter",
+        "pushdown reaching the scan, schema pruning, and that NO",
+        "row-at-a-time Python appears anywhere (Arrow/pandas only).",
+        "",
+        "| query | exchanges | bcast joins | SMJ | scans | pushdown | pruned schema | arrow-udf ops | row-python |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    bad = []
+    for name in names or AUDITED:
+        fn, _ = reg[name]
+        a = audit(name, plan_of(fn(spark, SF)))
+        if a["rowudf"]:
+            bad.append(name)
+        lines.append(
+            f"| {name} | {a['exchanges']} | {a['bcast_joins']} | {a['smj']} | {a['scans']} | "
+            f"{'yes' if a['pushed'] else '—'} | {'yes' if a['pruned_schema'] else '—'} | "
+            f"{a['pyudf']} | {'YES (bad)' if a['rowudf'] else 'none'} |"
+        )
+        print(lines[-1])
+    lines += [
+        "",
+        "Notes:",
+        "- BGP queries read the once-per-session prepared graph cache",
+        "  (kg_tpch.prepared_triples), so their plans show InMemoryTableScan",
+        "  rather than repeated parquet scans after warm-up.",
+        "- `pushdown: —` is expected for queries whose first operator is a",
+        "  full aggregation (no filter to push).",
+        "- row-python must be `none` everywhere (input_hint: vectorized",
+        "  Arrow UDFs only).",
+    ]
+    with open(os.path.join(REPO, "EXPLAIN.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote EXPLAIN.md" + (f"; ROW-PYTHON FOUND IN {bad}" if bad else ""))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
