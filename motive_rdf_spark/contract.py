@@ -408,6 +408,48 @@ def embedding_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "connected_to",
+    TRIPLES_CTE
+    + """SELECT DISTINCT s AS node FROM triples t1
+WHERE p = 0 AND EXISTS (SELECT 1 FROM triples t2 WHERE t2.s = t1.o AND t2.p = 4)""",
+)
+def connected_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """connectedTo(node, tag) existence test (KGraph.java:545-566) as a
+    semi join: entities in a nation that is itself in a region."""
+    t = _triples(spark, sf_dir)
+    inner = t.filter(F.col("p") == 4).select(F.col("s").alias("o"))
+    return (
+        t.filter(F.col("p") == 0)
+        .join(inner, "o", "left_semi")
+        .select(F.col("s").alias("node"))
+        .distinct()
+    )
+
+
+@q(
+    "degree_codelength_terms",
+    TRIPLES_CTE
+    + """SELECT o AS node, ROUND(lgamma(cnt + 1) / ln(2), 6) AS bits
+FROM (SELECT o, CAST(COUNT(*) AS BIGINT) AS cnt FROM triples GROUP BY o)
+WHERE cnt > 1""",
+)
+def degree_codelength_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node log2(deg!) codelength terms via the Arrow pandas UDF
+    (input_hint's lgamma_log2; functions/coders.lgamma_log2_udf) —
+    value-checked against DuckDB's native lgamma."""
+    from motive_rdf_spark.functions.coders import lgamma_log2_udf
+
+    lg = lgamma_log2_udf()
+    degs = (
+        _triples(spark, sf_dir)
+        .groupBy(F.col("o").alias("node"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+    return degs.select("node", F.round(lg(F.col("cnt")), 6).alias("bits"))
+
+
+@q(
     "lang_id",
     """SELECT doc_id,
        CASE WHEN en >= de AND en >= fr THEN 'en'

@@ -126,6 +126,41 @@ def py_store_hist_opt(hist: dict[int, int]) -> float:
     return best + log2(len(_PY_GRID_D) * len(_PY_GRID_T))
 
 
+def lgamma_log2_udf():
+    """Vectorized column form of ``log2(x!)`` — the Arrow pandas UDF the
+    input_hint mandates for codelength math applied to DataFrame
+    columns (driver-side histogram math uses :func:`log2_factorial`).
+
+    Built lazily (pandas_udf needs no session, but keeping the import
+    local keeps this module importable without pyspark workers).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    # no type hints: `from __future__ import annotations` turns them
+    # into strings pandas_udf's eval-type inference cannot resolve here
+    @pandas_udf(DoubleType())
+    def lgamma_log2(x):
+        import numpy as np
+
+        # scipy is not in this runtime; numpy-vectorized math.lgamma is
+        # still Arrow-batched (one python call per element inside the
+        # batch, zero per-row serialization). Swap in scipy.special
+        # .gammaln when available:
+        try:
+            from scipy.special import gammaln  # type: ignore
+        except ImportError:
+            gammaln = np.vectorize(math.lgamma, otypes=["float64"])
+
+        v = x.astype("float64").to_numpy()
+        out = gammaln(v + 1.0) / LN2
+        out[v <= 1] = 0.0
+        return pd.Series(out)
+
+    return lgamma_log2
+
+
 def py_store_seq(seq: list[int], opt: bool = False) -> float:
     """Sequence-form convenience wrapper (unit tests, tiny pattern-label
     lists — MotifCode.java:88-97)."""

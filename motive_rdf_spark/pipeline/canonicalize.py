@@ -70,8 +70,24 @@ def connected_components(
             F.col("b").alias("node"), F.col("component")
         )
         cand = offers.unionAll(labels.select("node", "component"))
-        new_labels = _salted_min(cand, "node", "component", salt_buckets).localCheckpoint(
-            eager=True
+        new_labels = _salted_min(cand, "node", "component", salt_buckets)
+        # pointer jumping (path halving): component(v) := component(
+        # component(v)). Edge propagation alone needs O(diameter)
+        # rounds — a 1e3-long same_as chain would need 1e3 rounds;
+        # with jumping the reachable-hop horizon doubles per round,
+        # giving O(log diameter) total.
+        jump = new_labels.select(
+            F.col("node").alias("jnode"), F.col("component").alias("jcomp")
+        )
+        new_labels = (
+            new_labels.join(jump, new_labels["component"] == jump["jnode"], "left")
+            .select(
+                "node",
+                F.coalesce(F.least("component", "jcomp"), F.col("component")).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
