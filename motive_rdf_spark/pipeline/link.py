@@ -98,11 +98,15 @@ def link_mentions(
         F.substring("mention", 1, 4).alias("pfx"),
         (F.length("mention") / 4).cast("int").alias("lb"),
     )
-    blk_c = F.struct(
-        F.substring(surface_col, 1, 4).alias("pfx"),
-        (F.length(surface_col) / 4).cast("int").alias("lb"),
+    # candidates are replicated into the adjacent length buckets so a
+    # near-miss one bucket over (e.g. one extra char crossing a /4
+    # boundary) still meets its candidate; 3x the (small) dictionary
+    lb_c = (F.length(surface_col) / 4).cast("int")
+    cand_rep = cand.withColumn("_lb", F.explode(F.array(lb_c - 1, lb_c, lb_c + 1)))
+    cand_rep = cand_rep.withColumn(
+        "_blk", F.struct(F.substring(surface_col, 1, 4).alias("pfx"), F.col("_lb").alias("lb"))
     )
-    block = rest.withColumn("_blk", blk_m).join(cand.withColumn("_blk", blk_c), "_blk")
+    block = rest.withColumn("_blk", blk_m).join(F.broadcast(cand_rep), "_blk")
     scored = block.select(
         "mention",
         "entity_id",

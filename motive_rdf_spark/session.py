@@ -32,6 +32,16 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
+    # executor python workers inherit PYTHONPATH (not the driver's
+    # sys.path): make the package importable worker-side even when the
+    # driver runs from another cwd. On a real cluster --py-files does
+    # this (tools/make_pyfiles.py); this covers local[N].
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

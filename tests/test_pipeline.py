@@ -72,6 +72,29 @@ def test_linking_exact_on_closed_vocab(spark):
         assert surface == f"f{eid}_fn"
 
 
+def test_linking_fuzzy_tier(spark):
+    """Mentions with no exact dictionary hit fall through to the fuzzy
+    blocked scorer; near-misses link when score clears the threshold,
+    unrelated strings do not."""
+    cands = spark.createDataFrame(
+        [("f123_fn", 123, 0.5), ("f124_fn", 124, 0.9), ("zzz_other", 9, 0.1)],
+        "surface string, entity_id long, prior double",
+    )
+    mentions = spark.createDataFrame(
+        [("f123_fn",),     # exact -> tier 1
+         ("f123_fnX",),    # near miss (lcp 7/8 = 0.875) -> fuzzy tier
+         ("qqqq",)],       # no block partner -> unlinked
+        "mention string",
+    )
+    from motive_rdf_spark.pipeline.link import link_mentions
+
+    links = {r["mention"]: (r["entity_id"], r["score"])
+             for r in link_mentions(mentions, cands, min_score=0.8).collect()}
+    assert links["f123_fn"][0] == 123 and links["f123_fn"][1] >= 1.0
+    assert links["f123_fnX"][0] == 123 and 0.8 <= links["f123_fnX"][1] < 1.0
+    assert "qqqq" not in links
+
+
 def test_connected_components_chain_star_hub(spark):
     edges = [(0, 1), (1, 2), (2, 3), (10, 11), (10, 12), (10, 13)]
     # a hub star: node 1000 connected to 500 nodes (salting path)
