@@ -47,29 +47,48 @@ def dogfood(spark):
         "type": term_id(pred_dict, TYPE),
         "inproc": term_id(node_dict, INPROC),
     }
-    yield triples, consts
+    yield triples, consts, pred_dict
     triples.unpersist()
 
 
 def test_dogfood_dims(spark, dogfood):
-    triples, _ = dogfood
+    triples, _, _pd = dogfood
     # 170 relations (SynthRep.java:49)
     assert triples.select("p").distinct().count() == 170
 
 
 def test_dogfood_q1(spark, dogfood):
-    triples, c = dogfood
+    triples, c, _pd = dogfood
     pat = Pattern([(-1, c["year"], -2), (-1, c["type"], c["inproc"])])
     assert find(triples, pat).count() == 3_307
 
 
 def test_dogfood_q2(spark, dogfood):
-    triples, c = dogfood
+    triples, c, _pd = dogfood
     pat = Pattern([(-1, c["year"], -2), (-1, -3, c["inproc"])])
     assert find(triples, pat).count() == 3_307
 
 
 def test_dogfood_q3(spark, dogfood):
-    triples, c = dogfood
+    triples, c, _pd = dogfood
     pat = Pattern([(-1, -3, -2), (-1, c["type"], c["inproc"])])
     assert find(triples, pat).count() == 77_897
+
+
+def test_supplement_top_motif_frequency(spark, dogfood):
+    """The reference supplement's #1 dogfood motif by log-factor —
+    `?n1 dc:creator ?n2. ?n1 foaf:maker ?n2. ?n2 foaf:made ?n1.` at
+    frequency 10,475 (supplement.pdf p.1; BASELINE.md quality table).
+    Our find + greedy prune reproduces that exact support count."""
+    from motive_rdf_spark.operators.prune import prune_matches
+    from motive_rdf_spark.sources.ntriples import term_id
+
+    triples, _c, pred_dict = dogfood
+    creator = term_id(pred_dict, "<http://purl.org/dc/elements/1.1/creator>")
+    maker = term_id(pred_dict, "<http://xmlns.com/foaf/0.1/maker>")
+    made = term_id(pred_dict, "<http://xmlns.com/foaf/0.1/made>")
+    pat = Pattern([(-1, creator, -2), (-1, maker, -2), (-2, made, -1)])
+    matches = sorted([list(x) for x in find(triples, pat).collect()])
+    kept = prune_matches(pat, matches)
+    assert len(matches) == 10_475
+    assert len(kept) == 10_475  # instances are triple-disjoint

@@ -105,6 +105,21 @@ def main() -> int:
         }
         exp = {("q1", 3307), ("q2", 3307), ("q3", 77897)}
         rows.append(("dogfood support counts", *pr(got, exp)))
+
+        # published motif support: the supplement's #1 dogfood motif
+        # (?n1 dc:creator ?n2. ?n1 foaf:maker ?n2. ?n2 foaf:made ?n1.)
+        # at frequency 10,475 (supplement.pdf p.1)
+        from motive_rdf_spark.operators.prune import prune_matches as _pm
+
+        creator = term_id(pd_, "<http://purl.org/dc/elements/1.1/creator>")
+        maker = term_id(pd_, "<http://xmlns.com/foaf/0.1/maker>")
+        made = term_id(pd_, "<http://xmlns.com/foaf/0.1/made>")
+        mp = Pattern([(-1, creator, -2), (-1, maker, -2), (-2, made, -1)])
+        kept = _pm(mp, sorted([list(x) for x in find(t, mp).collect()]))
+        rows.append(
+            ("published top-motif support (10475)",
+             *pr({("top", len(kept))}, {("top", 10475)}))
+        )
         t.unpersist()
 
     # ---- axis 3: planted-motif instance recovery ----------------------
