@@ -776,6 +776,46 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@q("dogfood_goldens", None)
+def dogfood_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own dataset goldens as one result table:
+    q1/q2/q3 support counts (FindTest.java:304-364 asserts
+    3307/3307/77897) and the supplement's top-motif frequency (10475).
+    Deterministic; rows-only check (the expectations themselves are
+    pinned by tests/test_dogfood.py)."""
+    import os
+
+    from motive_rdf_spark.operators.bgp import find
+    from motive_rdf_spark.operators.prune import prune_matches
+    from motive_rdf_spark.patterns import Pattern
+    from motive_rdf_spark.sources.ntriples import encode_graph, read_ntriples, term_id
+
+    path = "/root/reference/src/main/resources/data/swdf-2012-11-28.nt.gz"
+    schema = "query string, support long"
+    if not os.path.exists(path):
+        return spark.createDataFrame([], schema)
+    from motive_rdf_spark.operators.bgp import prepare_triples
+
+    t, nd, pd_ = encode_graph(read_ntriples(spark, path))
+    t = prepare_triples(t).persist()
+    year = term_id(pd_, "<http://swrc.ontoware.org/ontology#year>")
+    typ = term_id(pd_, "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>")
+    inproc = term_id(nd, "<http://swrc.ontoware.org/ontology#InProceedings>")
+    creator = term_id(pd_, "<http://purl.org/dc/elements/1.1/creator>")
+    maker = term_id(pd_, "<http://xmlns.com/foaf/0.1/maker>")
+    made = term_id(pd_, "<http://xmlns.com/foaf/0.1/made>")
+    rows = [
+        ("q1", find(t, Pattern([(-1, year, -2), (-1, typ, inproc)])).count()),
+        ("q2", find(t, Pattern([(-1, year, -2), (-1, -3, inproc)])).count()),
+        ("q3", find(t, Pattern([(-1, -3, -2), (-1, typ, inproc)])).count()),
+    ]
+    mp = Pattern([(-1, creator, -2), (-1, maker, -2), (-2, made, -1)])
+    kept = prune_matches(mp, sorted([list(x) for x in find(t, mp).collect()]))
+    rows.append(("supplement_top_motif", len(kept)))
+    t.unpersist()
+    return spark.createDataFrame(rows, schema)
+
+
 @q("motif_induction", None)
 def motif_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end motif induction (search.py): SA over a seeded planted

@@ -54,6 +54,19 @@ def test_py_coder_valid_code():
     assert coders.py_store_hist_opt(h) <= coders.py_store_hist(h) + 10
 
 
+def test_py_opt_coder_bounded_by_fast():
+    """storeIntegersOpt (grid-optimized PY) is never worse than the
+    fast default parameters by more than the grid-index cost."""
+    from motive_rdf_spark.functions.coders import log2, py_store_hist, py_store_hist_opt
+
+    for hist in ({1: 5, 2: 3, 7: 1}, {0: 10, 1: 1}, {3: 100}):
+        fast = py_store_hist(hist)
+        opt = py_store_hist_opt(hist)
+        grid_cost = log2(6 * 7)
+        assert opt <= fast + grid_cost + 1e-9
+        assert opt > 0
+
+
 def test_edgelist_codelength_tiny():
     # 2-node graph with one edge 0->1, one relation:
     # 2*log2(1!) - 0 - 0 - 0 + 0 = 0 bits under NONE prior
