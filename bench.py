@@ -79,7 +79,9 @@ def main() -> None:
     from motive_rdf_spark.pipeline.encode import encode_triples
     from motive_rdf_spark.pipeline.materialize import SAME_AS, build_string_triples
 
-    pipe_rows = int(os.environ.get("SPARK_GRAFT_PIPE_ROWS", "100000"))
+    # 300k rows amortizes fixed per-job latency so the reported
+    # triples/sec reflects pipeline throughput, not session startup
+    pipe_rows = int(os.environ.get("SPARK_GRAFT_PIPE_ROWS", "300000"))
     src = source_code_table(spark, pipe_rows).drop("k").persist()
     src.count()
     t0 = time.time()

@@ -25,7 +25,7 @@ which bounds every bucket; AQE skew-join covers the residue.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 # ---------------------------------------------------------------------------
 # shingling
