@@ -25,7 +25,7 @@ Two implementations:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 from motive_rdf_spark.patterns import Pattern, var_col
 
@@ -81,12 +81,18 @@ def prune_matches_df(
 ) -> DataFrame:
     """Distributed greedy prune. Returns the kept matches (same columns).
 
-    Matches are first ranked by the canonical binding key, making the
-    result deterministic regardless of partitioning (SURVEY.md §4.4).
+    Matches are ordered by the canonical binding key, making the result
+    deterministic regardless of partitioning (SURVEY.md §4.4). The
+    "rank" is the binding-key STRUCT itself — Spark orders structs
+    lexicographically, so ``min`` and equality work natively and no
+    global ``row_number`` window (a single-task bottleneck at 1e8
+    matches) is ever needed.
     """
     key_cols = canonical_sort_key(pattern)
-    ranked = matches.withColumn(
-        "__rank", F.row_number().over(Window.orderBy(*[F.col(c) for c in key_cols]))
+    # duplicate binding rows are the same instance (they claim the same
+    # triples); the sequential greedy keeps exactly one — mirror that
+    ranked = matches.dropDuplicates(key_cols).withColumn(
+        "__rank", F.struct(*[F.col(c) for c in key_cols])
     )
     # (rank, triple) claim table; triple key as a single struct column
     it = instance_triples_df(pattern, ranked.select("__rank", *key_cols)).select(
