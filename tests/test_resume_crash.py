@@ -78,3 +78,20 @@ def test_cli_construct_experiment(spark, tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     assert "triples" in res.stdout
     assert spark.read.parquet(f"{out}/triples").count() > 0
+
+
+def test_cli_multi_experiment(spark, tmp_path):
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "motive_rdf_spark",
+            "--experiment", "multi", "--data", "hub:60",
+            "--iterations", "5", "--seed", "4",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo", "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "best motif set" in res.stdout
