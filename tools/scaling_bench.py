@@ -1,7 +1,8 @@
 """Scaling benchmark: the identical job at two parallelism levels on
 the same input, evidencing the north_rule's two-cluster-size criterion
 (throughput scaling efficiency >= 0.8 from N to 4N executors) with the
-sandbox proxy local[8] vs local[32] (BASELINE.md "Targets").
+sandbox proxy local[4] vs local[16] (BASELINE.md "Targets";
+see BENCH/BASELINE.md for why 4/16 rather than 8/32 on this box).
 
 Workloads:
   construct  — the KG-construction pipeline in memory (synthesized
