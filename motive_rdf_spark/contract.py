@@ -816,6 +816,54 @@ def dogfood_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+@q("hdt_goldens", None)
+def hdt_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIFB/Mutag golden supports loaded straight from the reference's
+    own ``.hdt`` binaries (sources/hdt.py; KGraph.loadHDT parity,
+    KGraph.java:1197-1317): graph dims (SynthRep.java:47-49) plus the
+    supplement's graph-invariant motif supports (AIFB rows 2-3, Mutag
+    top row). Deterministic; rows-only check — expectations are pinned
+    by tests/test_hdt.py."""
+    import os
+
+    from motive_rdf_spark.operators.bgp import prepare_triples
+    from motive_rdf_spark.sources.hdt import encode_hdt_graph
+    from motive_rdf_spark.sources.ntriples import term_id
+
+    data = "/root/reference/src/main/resources/data"
+    schema = "query string, support long"
+    if not os.path.exists(f"{data}/aifb.complete.hdt"):
+        return spark.createDataFrame([], schema)
+    swrs = "http://swrc.ontoware.org/ontology#"
+    mtg = "http://dl-learner.org/carcinogenesis#"
+
+    a, _nd, apd = encode_hdt_graph(spark, f"{data}/aifb.complete.hdt")
+    a = prepare_triples(a).persist()
+    pub = term_id(apd, f"{swrs}publication")
+    auth = term_id(apd, f"{swrs}author")
+    rows = [
+        ("aifb_triples", a.count()),
+        ("aifb_pub_anyback", find(a, Pattern([(-1, pub, -2), (-2, -3, -1)])).count()),
+        ("aifb_pub_authback", find(a, Pattern([(-1, pub, -2), (-2, auth, -1)])).count()),
+    ]
+    a.unpersist()
+
+    m, _nd2, mpd = encode_hdt_graph(spark, f"{data}/mutag.complete.hdt")
+    m = prepare_triples(m).persist()
+    ha = term_id(mpd, f"{mtg}hasAtom")
+    hb = term_id(mpd, f"{mtg}hasBond")
+    ib = term_id(mpd, f"{mtg}inBond")
+    rows += [
+        ("mutag_triples", m.count()),
+        (
+            "mutag_top_motif",
+            find(m, Pattern([(-1, ha, -3), (-1, hb, -2), (-2, ib, -3)])).count(),
+        ),
+    ]
+    m.unpersist()
+    return spark.createDataFrame(rows, schema)
+
+
 @q("motif_induction", None)
 def motif_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end motif induction (search.py): SA over a seeded planted

@@ -68,18 +68,26 @@ def triples_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # graph-load is once-per-dataset in a real deployment; repeated contract/
-# bench queries reuse the prepared (deduped + triple-id'd) cached graph
-_PREPARED: dict[tuple[int, str], DataFrame] = {}
+# bench queries reuse the prepared (deduped + triple-id'd) cached graph.
+# Keyed by applicationId, not id(spark): a stopped session's id() can be
+# reused by a new SparkSession, which would hand back a DataFrame bound
+# to a dead context (ADVICE r1).
+_PREPARED: dict[tuple[str, str], DataFrame] = {}
 
 
 def prepared_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KG with the matcher's triple-id column, deduped once and
-    cached per (session, dataset) — the Spark analog of KGraph's
+    cached per (application, dataset) — the Spark analog of KGraph's
     load-once in-memory graph (KGraph.java:126-145)."""
     from motive_rdf_spark.operators.bgp import prepare_triples
 
-    key = (id(spark), sf_dir)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
     if key not in _PREPARED:
+        # drop entries from other (stopped) applications so persisted
+        # DataFrames from dead contexts are not kept alive
+        for stale in [k for k in _PREPARED if k[0] != app_id]:
+            del _PREPARED[stale]
         _PREPARED[key] = prepare_triples(triples_view(spark, sf_dir)).persist()
     return _PREPARED[key]
 

@@ -33,6 +33,9 @@ selectivity probes when ``probe=True``.
 
 from __future__ import annotations
 
+import time
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, functions as F
 
 from motive_rdf_spark.patterns import Pattern, var_col
@@ -194,3 +197,92 @@ def find(
 def find_count(triples: DataFrame, pattern: Pattern, **kw) -> int:
     """Match count — the support statistic (SimAnnealing.java:156,204)."""
     return find(triples, pattern, **kw).count()
+
+
+@dataclass
+class BudgetedMatches:
+    """Result of a wall-clock-budgeted match: ``matches`` is complete
+    when ``timed_out`` is False, else a correct subset (every returned
+    row is a genuine full match)."""
+
+    matches: DataFrame
+    timed_out: bool
+
+
+def find_budgeted(
+    triples: DataFrame,
+    pattern: Pattern,
+    timeout_s: float,
+    max_matches: int = 200_000,
+    probe: bool = False,
+    distinct_edges: bool = True,
+) -> BudgetedMatches:
+    """``find`` with the reference's wall-clock match budget
+    (Find.java:59-69,116-120): bounded work per pattern, partial
+    results allowed, ``timed_out`` reported.
+
+    Spark can't interrupt row enumeration mid-job the way the
+    reference's solver checks its deadline per recursion step, so the
+    deadline is checked between expansion-join rounds (each round is
+    materialized via ``localCheckpoint``). Once the deadline passes,
+    every intermediate embedding is truncated to ``max_matches`` rows —
+    joins only *constrain* embeddings, so everything produced from a
+    truncated prefix is still a genuine match; the result is exactly
+    the reference's contract (a correct subset + ``timed_out=True``).
+    """
+    if not pattern.edges:
+        raise ValueError("empty pattern")
+    triples = prepare_triples(triples)
+    deadline = time.monotonic() + timeout_s
+
+    order = _order_edges(pattern, triples, probe)
+    node_var_cols = [var_col(v) for v in pattern.node_vars]
+
+    emb: DataFrame | None = None
+    present: set[str] = set()
+    injected: set[frozenset[str]] = set()
+    timed_out = False
+    for round_no, idx in enumerate(order):
+        scan = _edge_scan(triples, pattern.edges[idx], idx)
+        evars = [c for c in scan.columns if not c.startswith(TID)]
+        if emb is None:
+            emb = scan
+        else:
+            shared = [c for c in evars if c in present]
+            emb = emb.join(scan, on=shared, how="inner") if shared else emb.crossJoin(scan)
+        present.update(evars)
+        for i, a in enumerate(node_var_cols):
+            for b in node_var_cols[i + 1 :]:
+                key = frozenset((a, b))
+                if a in present and b in present and key not in injected:
+                    emb = emb.filter(F.col(a) != F.col(b))
+                    injected.add(key)
+        if round_no < len(order) - 1:
+            # per-round driver guard: materialize, then check the clock
+            if timed_out:
+                emb = emb.limit(max_matches)
+            emb = emb.localCheckpoint(eager=True)
+            if time.monotonic() > deadline:
+                timed_out = True
+
+    assert emb is not None
+    if distinct_edges and len(pattern.edges) > 1:
+        tids = [f"{TID}_{i}" for i in range(len(pattern.edges))]
+        for i in range(len(tids)):
+            for j in range(i + 1, len(tids)):
+                pi, pj = pattern.edges[i][1], pattern.edges[j][1]
+                if pi >= 0 and pj >= 0 and pi != pj:
+                    continue
+                emb = emb.filter(F.col(tids[i]) != F.col(tids[j]))
+
+    out_cols = [var_col(v) for v in pattern.variables]
+    if not out_cols:
+        out = emb.limit(1).select(F.lit(True).alias("matched"))
+    else:
+        out = emb.select(*out_cols)
+    if timed_out:
+        out = out.limit(max_matches)
+    elif time.monotonic() > deadline:
+        timed_out = True
+        out = out.limit(max_matches)
+    return BudgetedMatches(matches=out, timed_out=timed_out)

@@ -36,10 +36,16 @@ def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: s
     """Distinct word n-grams per document: DataFrame[id_col, shingle].
     Native: split + sequence + transform + explode."""
     words = F.split(F.col(text_col), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-    )
+    # documents with fewer than n words yield NO shingles (not one
+    # truncated sub-n-gram — ADVICE r1), matching the Jaccard oracle's
+    # len >= n contract
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     out = docs.select(F.col(id_col), F.explode(grams).alias("shingle")).filter(
         F.length("shingle") > 0
     )

@@ -77,7 +77,10 @@ def instance_triples_df(pattern: Pattern, matches: DataFrame) -> DataFrame:
 
 
 def prune_matches_df(
-    pattern: Pattern, matches: DataFrame, max_rounds: int = 40
+    pattern: Pattern,
+    matches: DataFrame,
+    max_rounds: int = 40,
+    claimed: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed greedy prune. Returns the kept matches (same columns).
 
@@ -87,6 +90,12 @@ def prune_matches_df(
     lexicographically, so ``min`` and equality work natively and no
     global ``row_number`` window (a single-task bottleneck at 1e8
     matches) is ever needed.
+
+    ``claimed`` (optional): DataFrame with a single struct column
+    ``__t`` = (s,p,o) of triples already taken by earlier patterns —
+    the distributed analog of MotifCode.pruneValues' shared ``seen``
+    set (MotifCode.java:378-408): any instance touching a claimed
+    triple is dead before the fixpoint starts.
     """
     key_cols = canonical_sort_key(pattern)
     # duplicate binding rows are the same instance (they claim the same
@@ -99,6 +108,9 @@ def prune_matches_df(
         "__rank", F.struct("s", "p", "o").alias("__t")
     )
     active = it
+    if claimed is not None:
+        dead0 = it.join(claimed, "__t").select("__rank").distinct()
+        active = it.join(dead0, "__rank", "left_anti")
     kept_ranks: DataFrame | None = None
     spark = matches.sparkSession
     for _ in range(max_rounds):

@@ -85,10 +85,20 @@ def link_mentions(
     """
     m = mentions.select("mention").distinct()
     cand = F.broadcast(candidates)
-    exact = m.join(cand, m["mention"] == cand[surface_col]).select(
-        "mention",
-        "entity_id",
-        (F.lit(1.0) + 0.001 * F.coalesce(F.col("prior"), F.lit(0.0))).alias("score"),
+    # best-per-mention even on the exact tier: if two dictionary entries
+    # share a surface, emitting both would hand connected-components a
+    # spurious merge of distinct entities (ADVICE r1) — keep the highest
+    # (prior, entity_id) candidate, mirroring the fuzzy tier's rule
+    exact = (
+        m.join(cand, m["mention"] == cand[surface_col])
+        .select(
+            "mention",
+            "entity_id",
+            (F.lit(1.0) + 0.001 * F.coalesce(F.col("prior"), F.lit(0.0))).alias("score"),
+        )
+        .groupBy("mention")
+        .agg(F.max(F.struct("score", F.col("entity_id"))).alias("b"))
+        .select("mention", F.col("b.entity_id").alias("entity_id"), F.col("b.score").alias("score"))
     )
     if not fuzzy:
         return exact.filter(F.col("score") >= min_score)

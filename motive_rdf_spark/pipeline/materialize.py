@@ -10,7 +10,9 @@ deployment; here commits ARE the increments). Layout under ``out_dir``
 an Iceberg catalog would give; the writer is connector-agnostic):
 
     triples/snapshot=<commit>/        final (s,p,o) long triples
-    node_dict/ pred_dict/             term <-> id (extended, never rewritten)
+    node_dict/vN/ pred_dict/vN/       term <-> id (append-only, versioned:
+                                      each snapshot commits a new vN; the
+                                      previous version is never rewritten)
     lineage/snapshot=<commit>/        per (repo) input/output row counts + sha checksum
     metrics/snapshot=<commit>/        per stage: rows, wall seconds
     ledger/                           processed-snapshot records (the checkpoint)
@@ -89,6 +91,57 @@ def _load_optional(spark: SparkSession, path: str) -> DataFrame | None:
         return None
 
 
+# --- crash-safe dictionary storage ------------------------------------
+# Dictionaries are the only state shared across snapshots, so they are
+# stored as immutable versions (node_dict/v1, v2, ...) instead of being
+# overwritten in place: a crash mid-write leaves an incomplete new
+# version (no _SUCCESS marker) and never touches the committed one, so
+# previously materialized triples stay decodable (ADVICE r1).
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath, jvm
+
+
+def _dict_versions(spark: SparkSession, base: str) -> list[int]:
+    """Committed (``_SUCCESS``-marked) version numbers under ``base``."""
+    fs, jpath, jvm = _hadoop_fs(spark, base)
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v") and name[1:].isdigit():
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}/{name}/_SUCCESS")):
+                out.append(int(name[1:]))
+    return sorted(out)
+
+
+def load_dict(spark: SparkSession, base: str) -> DataFrame | None:
+    """Latest committed dictionary version (None if none exists).
+
+    Falls back to reading ``base`` directly for pre-versioning layouts.
+    """
+    vs = _dict_versions(spark, base)
+    if not vs:
+        return _load_optional(spark, base)
+    return spark.read.parquet(f"{base}/v{vs[-1]}")
+
+
+def _write_dict(df: DataFrame, base: str) -> None:
+    """Commit a new dictionary version without touching the current one;
+    keeps the last two committed versions, prunes older."""
+    spark = df.sparkSession
+    vs = _dict_versions(spark, base)
+    nxt = (vs[-1] + 1) if vs else 1
+    df.write.mode("overwrite").parquet(f"{base}/v{nxt}")
+    fs, _, jvm = _hadoop_fs(spark, base)
+    for v in _dict_versions(spark, base)[:-2]:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/v{v}"), True)
+
+
 def build_string_triples(source_snap: DataFrame, candidates: DataFrame | None) -> DataFrame:
     """Extract + link one snapshot: returns string-level triples
     including ``same_as`` edges from entity linking."""
@@ -129,20 +182,20 @@ def run_snapshot(
 
     # --- dictionary extension (append-only, see module doc) -----------
     t0 = time.time()
-    # localCheckpoint cuts the plan's file-source lineage so the dict
-    # paths can be overwritten below while the DF stays usable
+    # localCheckpoint cuts the plan's file-source lineage so the new
+    # dict version can be committed below while the DF stays usable
     node_dict = extend_dict(
-        _load_optional(spark, f"{out_dir}/node_dict"),
+        load_dict(spark, f"{out_dir}/node_dict"),
         strs.select(F.col("subj").alias("term")).unionAll(strs.select(F.col("obj").alias("term"))),
     ).localCheckpoint(eager=True)
     pred_dict = extend_dict(
-        _load_optional(spark, f"{out_dir}/pred_dict"),
+        load_dict(spark, f"{out_dir}/pred_dict"),
         strs.select(F.col("pred").alias("term")),
     ).localCheckpoint(eager=True)
-    # write-then-read keeps the next snapshot's base stable even if this
-    # one crashes after here (dict growth is idempotent on re-run)
-    _write(node_dict, f"{out_dir}/node_dict")
-    _write(pred_dict, f"{out_dir}/pred_dict")
+    # versioned commit: a crash here leaves the previous version intact
+    # (dict growth is idempotent on re-run)
+    _write_dict(node_dict, f"{out_dir}/node_dict")
+    _write_dict(pred_dict, f"{out_dir}/pred_dict")
     rep.stages["encode_dict"] = round(time.time() - t0, 3)
 
     t0 = time.time()

@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from motive_rdf_spark.canon import canonical_key
 from motive_rdf_spark.operators import degrees as deg
-from motive_rdf_spark.operators.bgp import find
+from motive_rdf_spark.operators.bgp import find, find_budgeted
 from motive_rdf_spark.operators.mdl_ops import null_bits, score_motif
 from motive_rdf_spark.operators.prune import prune_matches, prune_matches_df
 from motive_rdf_spark.patterns import Pattern, renumber
@@ -70,6 +70,11 @@ class SAConfig:
     iterations: int = 100
     alpha: float = 0.5
     max_matches: int = 200_000
+    # wall-clock budget per candidate match job (Find.java:59-69);
+    # None = row budget only. When set, a candidate whose matcher
+    # exceeds it yields partial (still-correct) matches and bumps
+    # SAState.timed_out_count.
+    max_time_s: float | None = None
     driver_prune_threshold: int = 50_000
     sample_rows: int = 20
     retain: int = 100  # MaxObserver RETAIN (MultiParallel.java:25)
@@ -85,6 +90,7 @@ class SAState:
     results: dict[tuple, MotifResult] = field(default_factory=dict)
     score_cache: dict[tuple, tuple[float, int]] = field(default_factory=dict)
     num_pos: int = 0  # patterns beating the null model (SimAnnealing numPos)
+    timed_out_count: int = 0  # candidates whose matcher hit max_time_s
 
 
 class SimAnnealing:
@@ -111,25 +117,40 @@ class SimAnnealing:
         st = self.state
         if key in st.score_cache:
             return st.score_cache[key]
-        matches = find(self.triples, pattern).limit(self.cfg.max_matches)
-        k = matches.count()
-        if k == 0:
-            result = (float("inf"), 0)
+        if self.cfg.max_time_s is not None:
+            bm = find_budgeted(
+                self.triples, pattern, self.cfg.max_time_s, self.cfg.max_matches
+            )
+            if bm.timed_out:
+                st.timed_out_count += 1
+            matched = bm.matches
         else:
-            if k <= self.cfg.driver_prune_threshold:
-                rows = [list(r) for r in matches.collect()]
-                rows.sort()
-                kept = prune_matches(pattern, rows)
-                spark = self.triples.sparkSession
-                cols = [f"v{i + 1}" for i in range(pattern.num_vars)]
-                pruned = spark.createDataFrame(
-                    [tuple(x) for x in kept], ", ".join(f"{c} long" for c in cols)
-                )
+            matched = find(self.triples, pattern)
+        # persist the bounded match set so the join cascade runs once and
+        # is reused by count / collect / the prune fixpoint / MDL scoring
+        # (it was previously re-executed per action — VERDICT r1 item 5)
+        matches = matched.limit(self.cfg.max_matches).persist()
+        try:
+            k = matches.count()
+            if k == 0:
+                result = (float("inf"), 0)
             else:
-                pruned = prune_matches_df(pattern, matches)
-            sc = score_motif(self.triples, pattern, pruned, st.n, st.m, st.r)
-            freq = len(kept) if k <= self.cfg.driver_prune_threshold else pruned.count()
-            result = (sc.total, freq)
+                if k <= self.cfg.driver_prune_threshold:
+                    rows = [list(r) for r in matches.collect()]
+                    rows.sort()
+                    kept = prune_matches(pattern, rows)
+                    spark = self.triples.sparkSession
+                    cols = [f"v{i + 1}" for i in range(pattern.num_vars)]
+                    pruned = spark.createDataFrame(
+                        [tuple(x) for x in kept], ", ".join(f"{c} long" for c in cols)
+                    )
+                else:
+                    pruned = prune_matches_df(pattern, matches)
+                sc = score_motif(self.triples, pattern, pruned, st.n, st.m, st.r)
+                freq = len(kept) if k <= self.cfg.driver_prune_threshold else pruned.count()
+                result = (sc.total, freq)
+        finally:
+            matches.unpersist()
         st.score_cache[key] = result
         if result[0] < st.null_bits:
             st.num_pos += 1
@@ -179,8 +200,16 @@ class SimAnnealing:
         t = self.rng.choice(inc)
         s_, p_, o_ = int(t["s"]), int(t["p"]), int(t["o"])
         # map the anchor node back to its pattern term; fresh var for the
-        # other endpoint (the reference adds the new node as a variable)
+        # other endpoint (the reference's EXTEND keeps the anchor term —
+        # constant or variable — and only the new endpoint becomes a
+        # variable, SimAnnealing.java EXTEND). Node constants map to
+        # themselves so a constant-anchored edge stays anchored; variable
+        # bindings take precedence on value collision.
         val_to_var = {v: -(i + 1) for i, v in enumerate(vals[: len(p.node_vars)])}
+        for s0, _, o0 in p.edges:
+            for t0 in (s0, o0):
+                if t0 >= 0:
+                    val_to_var.setdefault(t0, t0)
         new_var = -(len(p.node_vars) + 1)
 
         def back(x: int) -> int:
@@ -302,6 +331,7 @@ def sa_parallel(
             iterations=base.iterations,
             alpha=base.alpha,
             max_matches=base.max_matches,
+            max_time_s=base.max_time_s,
             driver_prune_threshold=base.driver_prune_threshold,
             sample_rows=base.sample_rows,
             retain=base.retain,
@@ -315,6 +345,7 @@ def sa_parallel(
     merged = states[0]
     for st in states[1:]:
         merged.num_pos += st.num_pos
+        merged.timed_out_count += st.timed_out_count
         for key, res in st.results.items():
             if key not in merged.results or res.score < merged.results[key].score:
                 merged.results[key] = res

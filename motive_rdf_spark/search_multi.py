@@ -43,6 +43,7 @@ class MultiConfig:
     alpha: float = 0.5
     max_matches: int = 100_000
     max_patterns: int = MAX_NUM_PATTERNS
+    driver_prune_threshold: int = 50_000
     seed: int | None = None
 
 
@@ -87,7 +88,12 @@ class SimAnnealingMulti:
         st = self.state
         if key in st.score_cache:
             return st.score_cache[key]
-        sc = score_motif_set(self.triples, patterns, self.cfg.max_matches).total
+        sc = score_motif_set(
+            self.triples,
+            patterns,
+            self.cfg.max_matches,
+            driver_prune_threshold=self.cfg.driver_prune_threshold,
+        ).total
         st.score_cache[key] = sc
         if sc < st.best_score:
             st.best_score = sc
@@ -139,6 +145,7 @@ class GAConfig:
     min_patterns: int = 1
     max_patterns: int = 5
     max_matches: int = 100_000
+    driver_prune_threshold: int = 50_000
     seed: int | None = None
 
 
@@ -164,7 +171,10 @@ class GAMulti:
         key = set_key(patterns)
         if key not in self.score_cache:
             self.score_cache[key] = score_motif_set(
-                self.triples, patterns, self.cfg.max_matches
+                self.triples,
+                patterns,
+                self.cfg.max_matches,
+                driver_prune_threshold=self.cfg.driver_prune_threshold,
             ).total
         return self.score_cache[key]
 

@@ -1,0 +1,272 @@
+"""HDT (Header-Dictionary-Triples) binary RDF reader — pure Python.
+
+The reference loads its aifb/mutag fixtures only from ``.hdt`` files
+(KGraph.loadHDT, KGraph.java:1197-1317, via the hdt-java dependency,
+pom.xml:95-106). This module implements enough of the public HDT v1
+format (W3C Member Submission "HDT"; rdfhdt.org spec; the on-disk
+layout of hdt-cpp/hdt-java v1 files) to load those fixtures without
+any external library:
+
+- control information blocks (``$HDT`` cookie, type, format, props);
+- plain-front-coding (PFC) dictionary sections with LogSequence2
+  block offsets (four-section dictionary: shared, subjects,
+  predicates, objects);
+- BitmapTriples in SPO order (bitmap Y/Z + LogSequence2 arrays Y/Z).
+
+CRC bytes are skipped, not validated (read-only fixture ingestion).
+
+Scale note: an HDT file is a single sequentially-compressed artifact —
+it cannot be split, so parsing happens on the driver (numpy-vectorized
+bit unpacking, ~1e5-1e8 triples practical) and the resulting triples
+are parallelized into a DataFrame immediately; everything downstream
+is distributed. For genuinely huge graphs the Spark-native path is the
+N-Triples/parquet source, not HDT.
+
+ID semantics (HDT spec §dictionary): subjects/objects shared section
+gets ids 1..|shared| in both roles; subject-only ids continue from
+|shared|+1, object-only likewise; predicates number 1..|P| in their
+own space. The reference re-maps strings to its own dense ids in
+iteration order (KGraph.java:1240-1280); we re-encode with the repo's
+deterministic lexicographic dense ids — the graphs are isomorphic,
+and every motif/MDL statistic is relabeling-invariant (SURVEY.md §4.4).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from dataclasses import dataclass
+
+import numpy as np
+
+
+class _Reader:
+    """Byte cursor over the whole (decompressed) file."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def bytes(self, n: int) -> bytes:
+        b = self.data[self.pos : self.pos + n]
+        if len(b) != n:
+            raise ValueError(f"truncated HDT: wanted {n} bytes at {self.pos}")
+        self.pos += n
+        return b
+
+    def u8(self) -> int:
+        return self.bytes(1)[0]
+
+    def vbyte(self) -> int:
+        """HDT VByte: 7 bits per byte, LSB group first, high bit set on
+        the LAST byte."""
+        out = 0
+        shift = 0
+        while True:
+            b = self.u8()
+            out |= (b & 0x7F) << shift
+            shift += 7
+            if b & 0x80:
+                return out
+
+    def cstr(self) -> bytes:
+        end = self.data.index(b"\x00", self.pos)
+        s = self.data[self.pos : end]
+        self.pos = end + 1
+        return s
+
+
+@dataclass
+class ControlInfo:
+    type: int
+    format: str
+    props: dict[str, str]
+
+
+def _read_control(r: _Reader) -> ControlInfo:
+    if r.bytes(4) != b"$HDT":
+        raise ValueError("bad HDT control cookie")
+    ctype = r.u8()
+    fmt = r.cstr().decode("utf-8")
+    props_raw = r.cstr().decode("utf-8")
+    r.bytes(2)  # CRC16, unvalidated
+    props = {}
+    for kv in props_raw.split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            props[k] = v
+    return ControlInfo(ctype, fmt, props)
+
+
+def _read_logseq(r: _Reader) -> np.ndarray:
+    """LogSequence2: fixed-width bit-packed unsigned ints, little-endian
+    bit order (type=1, numbits, vbyte count, CRC8, data, CRC32)."""
+    t = r.u8()
+    if t != 1:
+        raise ValueError(f"expected LogSequence2 type 1, got {t}")
+    numbits = r.u8()
+    n = r.vbyte()
+    r.bytes(1)  # CRC8
+    nbytes = (numbits * n + 7) // 8
+    raw = np.frombuffer(r.bytes(nbytes), dtype=np.uint8)
+    r.bytes(4)  # CRC32
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    bits = np.unpackbits(raw, bitorder="little")
+    idx = np.arange(n, dtype=np.int64)[:, None] * numbits + np.arange(numbits)[None, :]
+    weights = (1 << np.arange(numbits, dtype=np.uint64)).astype(np.uint64)
+    vals = (bits[idx].astype(np.uint64) * weights[None, :]).sum(axis=1)
+    return vals
+
+
+def _read_bitmap(r: _Reader) -> np.ndarray:
+    """Bitmap375: type=1, vbyte numbits, CRC8, bit data (LE), CRC32."""
+    t = r.u8()
+    if t != 1:
+        raise ValueError(f"expected Bitmap type 1, got {t}")
+    n = r.vbyte()
+    r.bytes(1)  # CRC8
+    nbytes = (n + 7) // 8
+    raw = np.frombuffer(r.bytes(nbytes), dtype=np.uint8)
+    r.bytes(4)  # CRC32
+    return np.unpackbits(raw, bitorder="little")[:n].astype(bool)
+
+
+def _read_pfc_section(r: _Reader) -> list[str]:
+    """Plain Front Coding dictionary section -> all strings, in order."""
+    t = r.u8()
+    if t != 2:
+        raise ValueError(f"expected PFC dictionary section type 2, got {t}")
+    numstrings = r.vbyte()
+    packed_size = r.vbyte()
+    blocksize = r.vbyte()
+    r.bytes(1)  # CRC8
+    blocks = _read_logseq(r)
+    data = r.bytes(packed_size)
+    r.bytes(4)  # CRC32
+    out: list[str] = []
+    if numstrings == 0:
+        return out
+    for b, off in enumerate(blocks):
+        if len(out) >= numstrings:
+            break
+        pos = int(off)
+        # first string of the block: stored in full
+        end = data.index(b"\x00", pos)
+        prev = data[pos:end]
+        out.append(prev.decode("utf-8", errors="replace"))
+        pos = end + 1
+        for _ in range(blocksize - 1):
+            if len(out) >= numstrings:
+                break
+            # front-coded: vbyte shared-prefix length + suffix
+            plen = 0
+            shift = 0
+            while True:
+                byte = data[pos]
+                pos += 1
+                plen |= (byte & 0x7F) << shift
+                shift += 7
+                if byte & 0x80:
+                    break
+            end = data.index(b"\x00", pos)
+            prev = prev[:plen] + data[pos:end]
+            out.append(prev.decode("utf-8", errors="replace"))
+            pos = end + 1
+    if len(out) != numstrings:
+        raise ValueError(f"PFC section decoded {len(out)} of {numstrings} strings")
+    return out
+
+
+@dataclass
+class HdtGraph:
+    subjects_shared: list[str]
+    subjects_only: list[str]
+    predicates: list[str]
+    objects_only: list[str]
+    s_ids: np.ndarray  # 1-based HDT ids
+    p_ids: np.ndarray
+    o_ids: np.ndarray
+
+    def term_s(self) -> np.ndarray:
+        table = np.array(self.subjects_shared + self.subjects_only, dtype=object)
+        return table[self.s_ids - 1]
+
+    def term_p(self) -> np.ndarray:
+        table = np.array(self.predicates, dtype=object)
+        return table[self.p_ids - 1]
+
+    def term_o(self) -> np.ndarray:
+        table = np.array(self.subjects_shared + self.objects_only, dtype=object)
+        return table[self.o_ids - 1]
+
+
+def parse_hdt(path: str) -> HdtGraph:
+    """Parse an ``.hdt`` / ``.hdt.gz`` file into id arrays + dictionaries."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        data = f.read()
+    r = _Reader(data)
+
+    glob = _read_control(r)
+    if "HDTv1" not in glob.format:
+        raise ValueError(f"unsupported HDT version: {glob.format}")
+    header = _read_control(r)
+    r.bytes(int(header.props.get("length", "0")))  # header RDF text, unused
+
+    dict_ci = _read_control(r)
+    if "dictionaryFour" not in dict_ci.format:
+        raise ValueError(f"unsupported dictionary: {dict_ci.format}")
+    shared = _read_pfc_section(r)
+    subjects = _read_pfc_section(r)
+    predicates = _read_pfc_section(r)
+    objects = _read_pfc_section(r)
+
+    tri_ci = _read_control(r)
+    if "triplesBitmap" not in tri_ci.format:
+        raise ValueError(f"unsupported triples encoding: {tri_ci.format}")
+    if tri_ci.props.get("order", "1") != "1":
+        raise ValueError(f"only SPO order supported, got order={tri_ci.props}")
+    bitmap_y = _read_bitmap(r)
+    bitmap_z = _read_bitmap(r)
+    seq_y = _read_logseq(r)  # predicate id per (s,p) pair
+    seq_z = _read_logseq(r)  # object id per triple
+
+    # subject of pair i = 1 + #ones strictly before i in bitmap_y
+    ones_before_y = np.concatenate(([0], np.cumsum(bitmap_y[:-1])))
+    subj_of_pair = (ones_before_y + 1).astype(np.int64)
+    # pair of triple j = #ones strictly before j in bitmap_z
+    pair_of_z = np.concatenate(([0], np.cumsum(bitmap_z[:-1]))).astype(np.int64)
+
+    return HdtGraph(
+        subjects_shared=shared,
+        subjects_only=subjects,
+        predicates=predicates,
+        objects_only=objects,
+        s_ids=subj_of_pair[pair_of_z],
+        p_ids=seq_y[pair_of_z].astype(np.int64),
+        o_ids=seq_z.astype(np.int64),
+    )
+
+
+def read_hdt(spark, path: str):
+    """HDT file -> DataFrame[subj, pred, obj] (string terms, one row per
+    triple). Terms are the raw HDT dictionary strings (IRIs without
+    angle brackets, literals with quotes) — the same surface the
+    reference's loadHDT iterates (KGraph.java:1240-1280)."""
+    import pandas as pd
+
+    g = parse_hdt(path)
+    pdf = pd.DataFrame(
+        {"subj": g.term_s(), "pred": g.term_p(), "obj": g.term_o()}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def encode_hdt_graph(spark, path: str):
+    """HDT file -> (prepared triples[s,p,o long], node_dict, pred_dict)
+    with the repo's deterministic dense ids — the drop-in equivalent of
+    ``sources.ntriples.encode_graph`` for ``.hdt`` datasets."""
+    from motive_rdf_spark.sources.ntriples import encode_graph
+
+    return encode_graph(read_hdt(spark, path))

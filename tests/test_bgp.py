@@ -121,3 +121,44 @@ def test_pattern_validity():
 def test_pattern_instantiation():
     pat = Pattern([(-1, -4, -2), (-1, -5, -3), (-2, -6, -3)])
     assert pat.triples([0, 1, 3, 0, 1, 0]) == [(0, 0, 1), (0, 1, 3), (1, 0, 3)]
+
+
+def test_find_budgeted_no_timeout_equals_find(spark):
+    from motive_rdf_spark.operators.bgp import find_budgeted
+
+    g = find1_graph(spark)
+    pat = Pattern([(-1, -4, -2), (-1, -5, -3), (-2, -6, -3)])
+    bm = find_budgeted(g, pat, timeout_s=600.0)
+    assert not bm.timed_out
+    assert rows_set(bm.matches) == rows_set(find(g, pat))
+
+
+def test_find_budgeted_expired_deadline_partial_and_flagged(spark):
+    """An explosive pattern with an already-expired deadline must return
+    a bounded, still-correct subset with timed_out=True (the reference's
+    partial-results contract, Find.java:59-69,116-120)."""
+    from motive_rdf_spark.operators.bgp import find_budgeted
+
+    g = hub_graph(spark, 200).persist()
+    g.count()
+    pat = Pattern([(-1, -4, -3), (-2, -5, -3)])  # vee: quadratic in spokes
+    cap = 50
+    bm = find_budgeted(g, pat, timeout_s=0.0, max_matches=cap)
+    assert bm.timed_out
+    got = rows_set(bm.matches)
+    assert 0 < len(got) <= cap
+    assert got <= rows_set(find(g, pat))  # every row is a real match
+    g.unpersist()
+
+
+def test_sa_records_timed_out_metric(spark):
+    """SAConfig.max_time_s=0 forces every candidate's matcher over
+    budget; the search still completes and the metric is recorded."""
+    from motive_rdf_spark.search import SAConfig, SimAnnealing
+
+    g = hub_graph(spark, 60).persist()
+    g.count()
+    sa = SimAnnealing(g, SAConfig(iterations=3, seed=2, max_time_s=0.0))
+    state = sa.run()
+    assert state.timed_out_count >= 1
+    g.unpersist()

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from pathlib import Path
 
 import pytest
 from pyspark.sql import Window, functions as F
@@ -17,7 +18,12 @@ from motive_rdf_spark.pipeline.canonicalize import canonical_entities, connected
 from motive_rdf_spark.pipeline.encode import dense_ids
 from motive_rdf_spark.pipeline.extract import extract_triples, with_sha
 from motive_rdf_spark.pipeline.link import link_mentions
-from motive_rdf_spark.pipeline.materialize import extend_dict, load_graph, run_pipeline
+from motive_rdf_spark.pipeline.materialize import (
+    extend_dict,
+    load_dict,
+    load_graph,
+    run_pipeline,
+)
 
 ROWS = 40
 
@@ -173,10 +179,34 @@ def test_pipeline_end_to_end(spark, pipeline_out):
     metrics = spark.read.parquet(f"{out}/metrics")
     assert metrics.select("snapshot").distinct().count() == 2
     # canonicalization happened: same_as is not in the final graph
-    pred_dict = spark.read.parquet(f"{out}/pred_dict")
+    pred_dict = load_dict(spark, f"{out}/pred_dict")
     sa = pred_dict.filter(F.col("term") == "same_as").collect()
     if sa:
         assert g.filter(F.col("p") == sa[0]["id"]).count() == 0
+    # crash-safety: dictionaries are versioned, at most the last two kept,
+    # and each committed version carries a _SUCCESS marker
+    vdirs = sorted(p.name for p in (Path(out) / "pred_dict").iterdir() if p.is_dir())
+    assert vdirs and all(v.startswith("v") for v in vdirs) and len(vdirs) <= 2
+    assert (Path(out) / "pred_dict" / vdirs[-1] / "_SUCCESS").exists()
+
+
+def test_dict_crash_mid_write_keeps_committed_version(spark, pipeline_out):
+    """An incomplete (no _SUCCESS) newer version must be ignored by
+    load_dict, so a crash mid-dict-write never loses the committed dict."""
+    _, _, out, _ = pipeline_out
+    base = Path(out) / "pred_dict"
+    committed = {r["term"]: r["id"] for r in load_dict(spark, str(base)).collect()}
+    vs = sorted(int(p.name[1:]) for p in base.iterdir() if p.is_dir())
+    fake = base / f"v{vs[-1] + 1}"
+    fake.mkdir()
+    (fake / "part-00000.parquet").write_bytes(b"not parquet")  # torn write
+    try:
+        after = {r["term"]: r["id"] for r in load_dict(spark, str(base)).collect()}
+        assert after == committed
+    finally:
+        for f in fake.iterdir():
+            f.unlink()
+        fake.rmdir()
 
 
 def test_pipeline_resume_idempotent(spark, pipeline_out):

@@ -94,6 +94,35 @@ def test_sa_retains_planted_motif(spark):
     g.unpersist()
 
 
+def test_extend_preserves_constant_anchor(spark):
+    """EXTEND from a constant-anchored pattern must keep the constant as
+    the new edge's anchor term (reference EXTEND keeps the anchor and
+    only the new endpoint becomes a variable) — it must NOT collapse
+    both endpoints into one fresh variable producing a degenerate
+    self-loop (?vK p ?vK) (ADVICE r1)."""
+    from motive_rdf_spark.search_multi import _TransitionHelper
+
+    rows = [(5, 0, 10), (5, 1, 11), (10, 2, 12), (11, 3, 13)]
+    g = spark.createDataFrame(rows, "s long, p long, o long").persist()
+    g.count()
+    pat = Pattern([(5, 0, -1)])  # s and p grounded, as after _init_pattern
+    cands = []
+    for seed in range(8):
+        helper = _TransitionHelper(g, SAConfig(sample_rows=10), random.Random(seed))
+        cand = helper._t_extend(pat)
+        if cand is not None:
+            cands.append(cand)
+            # the graph has no self-loops, so no extension may create one
+            for s_, p_, o_ in cand.edges:
+                assert not (s_ < 0 and s_ == o_), (seed, cand)
+    assert cands, "no EXTEND proposal succeeded"
+    # anchoring at the constant 5 via edge (5,1,11) must keep the 5
+    assert any(
+        any(p_ == 1 and s_ == 5 for s_, p_, o_ in c.edges) for c in cands
+    ), cands
+    g.unpersist()
+
+
 def test_sa_parallel_merges_chains(spark):
     g = hub_graph(spark, 80).persist()
     g.count()
