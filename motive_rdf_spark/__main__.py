@@ -11,13 +11,22 @@ Experiments (Run.java:156-208):
   synth-rep   — planted-motif recovery sweep over graph shapes ×
                 injection counts; writes synthrep.csv
                 (SynthRep.java:66-105)
+  synthetic   — quality sweep (Synthetic.java:42-311): sample a random
+                motif, one graph per injected-instance count, SA on
+                the focus graph, every retained motif re-scored on
+                EVERY graph; writes motifs.csv + scores.csv
   multi       — motif-set SA (SimAnnealingMulti; Multi.java)
+  classification — graph simplification (Classification.java:40-120):
+                top-k motif search, simplified graphs (motif cover,
+                targets always kept) + 1/2/3-neighborhood baselines +
+                the complete integer graph, all as CSV
   construct   — the graft's KG-construction pipeline over a source
                 table (parquet dir with repo/path/commit/lang/content)
 
 Datasets: ``dogfood`` (the reference's own .nt.gz, if present), any
-``*.nt``/``*.nt.gz`` path, ``hub:<n>`` / ``chain:<n>`` /
-``planted:<n>,<m>,<r>,<k>`` synthetic specs.
+``*.nt``/``*.nt.gz`` path, any ``*.hdt``/``*.hdt.gz`` path,
+``hub:<n>`` / ``chain:<n>`` / ``planted:<n>,<m>,<r>,<k>`` synthetic
+specs.
 
 The ``--max-time`` seconds budget is enforced twice, mirroring Find's
 wall-clock cap (Find.java:59-69): as a per-candidate match-row budget
@@ -36,6 +45,16 @@ import sys
 DOGFOOD = "/root/reference/src/main/resources/data/swdf-2012-11-28.nt.gz"
 
 
+def parse_edges(spec: str) -> list[tuple[int, int, int]]:
+    """Pattern spec: edges ';'-separated, terms ','-separated, negative
+    ids are variables — e.g. ``-1,0,-2;-1,1,-3;-2,2,-3`` (triangle)."""
+    return [
+        tuple(int(x) for x in edge.split(","))  # type: ignore[misc]
+        for edge in spec.split(";")
+        if edge.strip()
+    ]
+
+
 def load_dataset(spark, spec: str):
     from pyspark.sql import functions as F
 
@@ -48,6 +67,10 @@ def load_dataset(spark, spec: str):
         path = DOGFOOD if spec == "dogfood" else spec
         nt = read_ntriples(spark, path)
         triples, node_dict, pred_dict = encode_graph(nt)
+    elif spec.endswith((".hdt", ".hdt.gz")):
+        from motive_rdf_spark.sources.hdt import encode_hdt_graph
+
+        triples, node_dict, pred_dict = encode_hdt_graph(spark, spec)
     elif spec.startswith("hub:"):
         triples = hub_graph(spark, int(spec[4:]))
     elif spec.startswith("chain:"):
@@ -163,6 +186,153 @@ def synth_rep(args, spark) -> None:
         w.writerows(rows)
 
 
+def synthetic(args, spark) -> None:
+    """Quality sweep (Synthetic.java:42-311): sample one random motif,
+    build one planted graph per instance count in ``--instances``, run
+    warm-started SA on the focus (middle) graph, then re-score every
+    retained motif against EVERY graph — showing how score/frequency
+    grow with injected instances. Writes motifs.csv (one canonical
+    pattern per line) and scores.csv (score_i, freq_i per graph)."""
+    import csv
+    import random
+
+    from motive_rdf_spark.data.generators import planted_graph
+    from motive_rdf_spark.operators import degrees as deg
+    from motive_rdf_spark.operators.bgp import find, prepare_triples
+    from motive_rdf_spark.operators.mdl_ops import null_bits, score_motif
+    from motive_rdf_spark.operators.prune import prune_matches
+    from motive_rdf_spark.patterns import Pattern
+    from motive_rdf_spark.search import SAConfig, SimAnnealing, by_score
+
+    rng = random.Random(args.seed or 0)
+    size, links = 3, 3  # Synthetic.java:76-77 defaults
+
+    # sample a random connected all-variable motif with constant tags
+    # (motifVNodes=3, motifVLinks=0 — Synthetic.java:79-80)
+    while True:
+        pairs = set()
+        while len(pairs) < links:
+            a, b = rng.randrange(size), rng.randrange(size)
+            if a != b:
+                pairs.add((a, b))
+        edges = [(-a - 1, rng.randrange(args.relations), -b - 1) for a, b in sorted(pairs)]
+        pat = Pattern(edges)
+        touched = {t for s, _, o in edges for t in (s, o)}
+        if pat.valid() and len(touched) == size:
+            break
+
+    graphs, nulls = [], []
+    for i, k in enumerate(args.instances):
+        g = prepare_triples(
+            planted_graph(spark, args.nodes, args.links, args.relations,
+                          edges, k, seed=(args.seed or 0) + i)
+        ).persist()
+        g.count()
+        graphs.append(g)
+        nulls.append(null_bits(g))
+
+    focus = len(graphs) // 2  # Synthetic.java:89 focus=1 of 3
+    cfg = SAConfig(
+        iterations=args.iterations,
+        alpha=args.alpha,
+        max_matches=40_000 * max(args.max_time, 1),
+        max_time_s=float(args.max_time),
+        seed=args.seed,
+    )
+    state = SimAnnealing(graphs[focus], cfg, init_pattern=pat).run()
+    motifs = by_score(state, args.topk)
+
+    with open(os.path.join(args.output, "motifs.csv"), "w") as fm, open(
+        os.path.join(args.output, "scores.csv"), "w", newline=""
+    ) as fs:
+        w = csv.writer(fs)
+        header = []
+        for k in args.instances:
+            header += [f"score_{k}", f"freq_{k}"]
+        w.writerow(header)
+        for res in motifs:
+            fm.write(str(res.pattern) + "\n")
+            row = []
+            for g, nb in zip(graphs, nulls):
+                n, m, r = deg.graph_dims(g)
+                matches = sorted(
+                    [list(x) for x in find(g, res.pattern).limit(cfg.max_matches).collect()]
+                )
+                kept = prune_matches(res.pattern, matches)
+                if kept:
+                    cols = [f"v{i+1}" for i in range(res.pattern.num_vars)]
+                    kept_df = spark.createDataFrame(
+                        [tuple(x) for x in kept], ", ".join(f"{c} long" for c in cols)
+                    )
+                    bits = score_motif(g, res.pattern, kept_df, n, m, r).total
+                else:
+                    bits = nb
+                row += [round(nb - bits, 2), len(kept)]
+            w.writerow(row)
+    for g in graphs:
+        g.unpersist()
+    print(f"synthetic: {len(motifs)} motifs x {len(graphs)} graphs -> scores.csv")
+
+
+def classification(args, spark) -> None:
+    """Graph simplification for downstream node classification
+    (Classification.java:40-120 javadoc): search top-k motifs, then
+    write (a) simplified graphs retaining instances of the top 1..k
+    motifs by score and by frequency — target nodes always included —
+    (b) the complete graph in integer format, (c) 1/2/3-neighborhood
+    baseline graphs of the targets. All outputs are distributed CSV
+    directories (s,p,o)."""
+    from pyspark.sql import functions as F
+
+    from motive_rdf_spark.operators.simplify import neighborhood, simplified_graph
+    from motive_rdf_spark.search import SAConfig, by_frequency, by_score, sa_parallel
+
+    from motive_rdf_spark.patterns import Pattern
+
+    triples, *_ = load_dataset(spark, args.data)
+    warm = Pattern(parse_edges(args.warm)) if args.warm else None
+
+    if args.targets:
+        targets = spark.read.csv(args.targets, schema="node long")
+    else:  # default: the 10 highest-out-degree nodes
+        targets = (
+            triples.groupBy(F.col("s").alias("node"))
+            .count().orderBy(F.desc("count"), "node").limit(10).select("node")
+        )
+    targets = targets.persist()
+    targets.count()
+
+    cfg = SAConfig(
+        iterations=args.iterations,
+        alpha=args.alpha,
+        max_matches=40_000 * max(args.max_time, 1),
+        max_time_s=float(args.max_time),
+        seed=args.seed,
+    )
+    state = sa_parallel(triples, chains=args.threads, config=cfg, init_pattern=warm)
+
+    def write(df, name):
+        df.select("s", "p", "o").write.mode("overwrite").csv(
+            os.path.join(args.output, name)
+        )
+
+    write(triples.select("s", "p", "o"), "complete")
+    for tag, ranked in (
+        ("byscore", by_score(state, args.topk)),
+        ("byfreq", by_frequency(state, args.topk)),
+    ):
+        pats = [r.pattern for r in ranked]
+        for j in range(1, len(pats) + 1):
+            simp = simplified_graph(
+                triples, pats[:j], targets=targets, max_matches=cfg.max_matches
+            )
+            write(simp, f"simplified-{tag}-top{j}")
+    for hops in (1, 2, 3):
+        write(neighborhood(triples, targets, hops), f"neighborhood-{hops}")
+    targets.unpersist()
+    print(f"classification: wrote simplified + baseline graphs to {args.output}")
+
+
 def multi(args, spark) -> None:
     from motive_rdf_spark.search_multi import MultiConfig, SimAnnealingMulti
 
@@ -189,9 +359,14 @@ def construct(args, spark) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser(prog="motive_rdf_spark")
     ap.add_argument("--experiment", required=True,
-                    choices=["real-world", "synth-rep", "multi", "construct"])
+                    choices=["real-world", "synth-rep", "synthetic", "multi",
+                             "classification", "construct"])
     ap.add_argument("--data", default="dogfood")
     ap.add_argument("--candidates", default=None)
+    ap.add_argument("--targets", default=None,
+                    help="CSV of target node ids (classification)")
+    ap.add_argument("--warm", default=None,
+                    help="warm-start pattern spec, e.g. '-1,0,-2;-1,1,-3'")
     ap.add_argument("--iterations", type=int, default=1000)  # Run.java:107 default 10M
     ap.add_argument("--topk", type=int, default=100)  # Run.java:112
     ap.add_argument("--max-time", type=int, default=25)  # Run.java:87
@@ -209,7 +384,8 @@ def main() -> None:
 
     spark = get_spark(app_name=f"motive-rdf-{args.experiment}")
     spark.sparkContext.setLogLevel("ERROR")
-    {"real-world": real_world, "synth-rep": synth_rep, "multi": multi,
+    {"real-world": real_world, "synth-rep": synth_rep, "synthetic": synthetic,
+     "multi": multi, "classification": classification,
      "construct": construct}[args.experiment](args, spark)
 
 

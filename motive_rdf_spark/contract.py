@@ -42,6 +42,13 @@ def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg_tpch.prepared_triples(spark, sf_dir)
 
 
+def _store(spark: SparkSession, sf_dir: str):
+    """Pre-partitioned graph copies for the matcher queries (bucketed-
+    storage analog; skips the graph-side exchange in non-broadcast
+    plans — operators.bgp.GraphStore)."""
+    return kg_tpch.prepared_store(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # §2.3 BGP matcher queries (join-cascade engine vs plain SQL self-joins)
 # ---------------------------------------------------------------------------
@@ -59,7 +66,7 @@ def bgp_vee(spark: SparkSession, sf_dir: str) -> DataFrame:
     """?n1-[in_nation]->?n3, ?n2-[in_nation]->?n3 — the vee pattern of
     FindTest.java:105-132 over the TPC-H KG (customers/suppliers
     co-located in a nation). Node-var injectivity gives v1<>v2 etc."""
-    return find(_triples(spark, sf_dir), Pattern([(-1, 0, -3), (-2, 0, -3)]))
+    return find(_store(spark, sf_dir), Pattern([(-1, 0, -3), (-2, 0, -3)]))
 
 
 _CHAIN_SQL = TRIPLES_CTE + """
@@ -77,7 +84,7 @@ def bgp_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-node chain ?c-[placed]->?o-[contains]->?p-[supplied_by]->?s —
     the left-deep join-expansion path (Find.java:74-122 as joins)."""
     return find(
-        _triples(spark, sf_dir), Pattern([(-1, 1, -2), (-2, 2, -3), (-3, 3, -4)])
+        _store(spark, sf_dir), Pattern([(-1, 1, -2), (-2, 2, -3), (-3, 3, -4)])
     )
 
 
@@ -87,7 +94,7 @@ def bgp_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bgp_pred_var(spark: SparkSession, sf_dir: str) -> DataFrame:
     """?n1-[?p2]->3 : predicate-variable edge (FindTest.java:51-64 style)."""
-    return find(_triples(spark, sf_dir), Pattern([(-1, -2, 3)]))
+    return find(_store(spark, sf_dir), Pattern([(-1, -2, 3)]))
 
 
 @q(
@@ -101,7 +108,7 @@ def bgp_pred_var(spark: SparkSession, sf_dir: str) -> DataFrame:
 def bgp_support_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Motif support counting via groupBy aggregate (north_star: 'support
     counting via groupBy aggregates'; SimAnnealing.java:156,204)."""
-    m = find(_triples(spark, sf_dir), Pattern([(-1, 0, -3), (-2, 0, -3)]))
+    m = find(_store(spark, sf_dir), Pattern([(-1, 0, -3), (-2, 0, -3)]))
     return m.groupBy(F.col("v3").alias("nation")).agg(F.count("*").alias("support"))
 
 
@@ -738,6 +745,19 @@ def lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     return lsh_ann_topk(emb, emb, dim=dim, k=5)
+
+
+@q("ivf_ann", None)
+def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse-quantized cells, nprobe-cell search
+    (operators/similarity.ivf_ann_topk). Deterministic (seeded
+    quantizer) but k-means is not SQL-expressible -> rows-only;
+    exactness vs brute force pinned by
+    tests/test_trainops.py::test_ivf_ann_finds_planted_clone_and_recall."""
+    from motive_rdf_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, emb, k=5, num_clusters=16, nprobe=2, seed=7)
 
 
 @q("multimodal_features", None)

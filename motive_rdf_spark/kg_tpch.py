@@ -92,6 +92,25 @@ def prepared_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PREPARED[key]
 
 
+_STORES: dict[tuple[str, str], object] = {}
+
+
+def prepared_store(spark: SparkSession, sf_dir: str):
+    """GraphStore over the prepared KG: s-/o-partitioned cached copies
+    (the in-memory analog of bucketed graph tables) so matcher
+    expansion joins skip the graph-side exchange when joins don't
+    broadcast — see operators.bgp.GraphStore."""
+    from motive_rdf_spark.operators.bgp import GraphStore
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _STORES:
+        for stale in [k for k in _STORES if k[0] != app_id]:
+            del _STORES[stale]
+        _STORES[key] = GraphStore(prepared_triples(spark, sf_dir))
+    return _STORES[key]
+
+
 # Matching DuckDB CTE — byte-equivalent semantics to triples_view().
 TRIPLES_CTE = """
 WITH triples AS (

@@ -59,6 +59,51 @@ def prepare_triples(triples: DataFrame) -> DataFrame:
     )
 
 
+class GraphStore:
+    """Pre-partitioned copies of the prepared graph — the in-memory
+    analog of bucketed table storage (``bucketBy(s)`` plus a
+    ``bucketBy(o)`` copy, VERDICT r1 item 9). An expansion join whose
+    shared variable binds this edge's subject (object) scans the
+    s-partitioned (o-partitioned) copy, so the graph side arrives
+    already hash-distributed on the join key and Spark elides that
+    exchange; the surviving partitioning also propagates into the
+    embedding, cutting exchanges on later joins keyed on the same
+    variable. On a real cluster the same layout is two bucketed
+    tables written once at ingest; ``persist()`` plays that role on
+    local mode."""
+
+    def __init__(self, triples: DataFrame):
+        t = prepare_triples(triples)
+        # if preparation derived a new plan (dedupe + tid), cache it —
+        # degree aggregations and probes read .plain repeatedly
+        self._own_plain = t is not triples
+        if self._own_plain:
+            t = t.persist()
+        self.plain = t
+        self.by_s = t.repartition("s").persist()
+        self.by_o = t.repartition("o").persist()
+
+    def for_edge(self, edge: tuple[int, int, int], present: set[str]) -> DataFrame:
+        """The copy whose partitioning matches the join keys this edge
+        will contribute (``present`` = embedding columns bound so far;
+        empty for the leading edge, where s-partitioning seeds the
+        cascade)."""
+        s, _, o = edge
+        s_shared = s < 0 and (not present or var_col(s) in present)
+        o_shared = o < 0 and (not present or var_col(o) in present)
+        if s_shared:
+            return self.by_s
+        if o_shared:
+            return self.by_o
+        return self.plain
+
+    def unpersist(self) -> None:
+        self.by_s.unpersist()
+        self.by_o.unpersist()
+        if self._own_plain:
+            self.plain.unpersist()
+
+
 def _edge_scan(triples: DataFrame, edge: tuple[int, int, int], idx: int) -> DataFrame:
     """Filtered scan of the triples table for one pattern edge, projected
     to that edge's variable columns + its triple id.
@@ -133,13 +178,16 @@ def _order_edges(
 
 
 def find(
-    triples: DataFrame,
+    triples: DataFrame | GraphStore,
     pattern: Pattern,
     probe: bool = False,
     distinct_edges: bool = True,
 ) -> DataFrame:
     """All matches of ``pattern`` in ``triples`` — the Spark equivalent of
     ``Find.find(pattern, graph)`` (Find.java:40-72).
+
+    ``triples`` may be a ``GraphStore`` (pre-partitioned copies) to
+    elide the graph-side shuffle on each expansion join.
 
     Returns a DataFrame with one column per variable, named ``v1..vk``
     in variable-descending order (v1 = variable -1). For a fully
@@ -148,16 +196,19 @@ def find(
     """
     if not pattern.edges:
         raise ValueError("empty pattern")
-    triples = prepare_triples(triples)
+    store = triples if isinstance(triples, GraphStore) else None
+    base = store.plain if store is not None else prepare_triples(triples)
 
-    order = _order_edges(pattern, triples, probe)
+    order = _order_edges(pattern, base, probe)
     node_var_cols = [var_col(v) for v in pattern.node_vars]
 
     emb: DataFrame | None = None
     present: set[str] = set()
     injected: set[frozenset[str]] = set()
     for idx in order:
-        scan = _edge_scan(triples, pattern.edges[idx], idx)
+        edge = pattern.edges[idx]
+        src = store.for_edge(edge, present) if store is not None else base
+        scan = _edge_scan(src, edge, idx)
         evars = [c for c in scan.columns if not c.startswith(TID)]
         if emb is None:
             emb = scan
@@ -210,7 +261,7 @@ class BudgetedMatches:
 
 
 def find_budgeted(
-    triples: DataFrame,
+    triples: DataFrame | GraphStore,
     pattern: Pattern,
     timeout_s: float,
     max_matches: int = 200_000,
@@ -232,10 +283,11 @@ def find_budgeted(
     """
     if not pattern.edges:
         raise ValueError("empty pattern")
-    triples = prepare_triples(triples)
+    store = triples if isinstance(triples, GraphStore) else None
+    base = store.plain if store is not None else prepare_triples(triples)
     deadline = time.monotonic() + timeout_s
 
-    order = _order_edges(pattern, triples, probe)
+    order = _order_edges(pattern, base, probe)
     node_var_cols = [var_col(v) for v in pattern.node_vars]
 
     emb: DataFrame | None = None
@@ -243,7 +295,9 @@ def find_budgeted(
     injected: set[frozenset[str]] = set()
     timed_out = False
     for round_no, idx in enumerate(order):
-        scan = _edge_scan(triples, pattern.edges[idx], idx)
+        edge = pattern.edges[idx]
+        src = store.for_edge(edge, present) if store is not None else base
+        scan = _edge_scan(src, edge, idx)
         evars = [c for c in scan.columns if not c.startswith(TID)]
         if emb is None:
             emb = scan

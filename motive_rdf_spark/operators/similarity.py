@@ -11,6 +11,12 @@ approximate-nearest-neighbor for the training-data pipeline.
   ``num_planes`` seeded hyperplanes buckets the corpus; each query
   only scores its own bucket (plus optionally Hamming-adjacent probes,
   ``multi_probe``). Cost ~ bucket size instead of corpus size.
+- ``ivf_ann_topk``     — inverted-file index (IVF): a tiny k-means
+  coarse quantizer (trained driver-side on a bounded sample, shipped
+  as a literal — nlist×dim floats) partitions the corpus into
+  ``num_clusters`` cells; each query scores only its ``nprobe``
+  nearest cells. The classic ANN scale path when bucket occupancy
+  should follow data density rather than random hyperplanes.
 
 Hyperplanes are generated deterministically from (seed, plane, dim)
 via xxhash64 — the same plane matrix on every executor without
@@ -99,6 +105,118 @@ def lsh_sketch(
         bit = F.when(_dot(v, _hyperplane(p, dim, seed)) >= 0, F.lit(2**p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return emb.withColumn("bucket", bucket.cast("long"))
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    num_clusters: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+    sample: int = 50_000,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer: spherical k-means on a bounded
+    driver-side sample (numpy). The model is nlist x dim floats — a few
+    KB — so training on a sample and shipping it as a literal is the
+    correct scale shape (the corpus itself is never collected)."""
+    import numpy as np
+
+    rows = with_unit_vectors(corpus, vec_col).select("_unit").limit(sample).collect()
+    X = np.array([r["_unit"] for r in rows], dtype=float)
+    if len(X) == 0:
+        raise ValueError("empty corpus")
+    rng = np.random.RandomState(seed)
+    k = min(num_clusters, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    C[j] = m / nrm
+    return [[float(x) for x in c] for c in C]
+
+
+def _centroid_lit(centroids: list[list[float]]) -> Column:
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+
+
+def _cell_sims(unit_vec: Column, centroids: list[list[float]]) -> Column:
+    """array<double> of dot(vec, centroid_j) for all j."""
+    return F.transform(_centroid_lit(centroids), lambda c: _dot(unit_vec, c))
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: list[list[float]], vec_col: str = "_unit"
+) -> DataFrame:
+    """Add ``cell`` = index of the nearest centroid (0-based; ties to
+    the lowest index via array_position)."""
+    sims = _cell_sims(F.col(vec_col), centroids)
+    return emb.withColumn(
+        "cell", (F.array_position(sims, F.array_max(sims)) - 1).cast("long")
+    )
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    num_clusters: int = 16,
+    nprobe: int = 2,
+    iters: int = 5,
+    seed: int = 42,
+    sample: int = 50_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: each query scores only the candidates in
+    its ``nprobe`` nearest centroid cells. Returns
+    [query_id, neighbor_id, sim(4dp), rank].
+
+    Pass ``centroids`` to reuse a trained quantizer (e.g. one training
+    per corpus version); otherwise trained here on a sample.
+    Cost ~ |Q| · nprobe/num_clusters · |C| · d; the cell join is a
+    plain shuffle hash join AQE can split on skewed cells.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, num_clusters, iters, seed, sample, vec_col
+        )
+    c = ivf_assign(with_unit_vectors(corpus, vec_col), centroids).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("_cv"), "cell"
+    )
+    qu = with_unit_vectors(queries, vec_col)
+    # nprobe nearest cells per query: sort (−sim, idx) structs ascending
+    sims = _cell_sims(F.col("_unit"), centroids)
+    ranked_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                sims,
+                lambda s, i: F.struct((-s).alias("neg"), i.cast("long").alias("cell")),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    q = qu.select(
+        F.col(id_col).alias("query_id"),
+        F.col("_unit").alias("_qv"),
+        F.explode(F.transform(ranked_cells, lambda x: x["cell"])).alias("cell"),
+    )
+    pairs = q.join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id", "neighbor_id", F.round(_dot(F.col("_qv"), F.col("_cv")), 4).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
+    )
 
 
 def lsh_ann_topk(

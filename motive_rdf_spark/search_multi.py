@@ -63,6 +63,7 @@ class _TransitionHelper(SimAnnealing):
         self.cfg = cfg
         self.rng = rng
         self.triples = triples
+        self._match_src = triples  # sampling via find() (see SimAnnealing)
         # state/score intentionally not initialized: only transitions
         # (_t_*) and sampling helpers are used
 

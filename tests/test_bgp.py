@@ -162,3 +162,67 @@ def test_sa_records_timed_out_metric(spark):
     state = sa.run()
     assert state.timed_out_count >= 1
     g.unpersist()
+
+
+def _executed_op_counts(df) -> dict:
+    """Operator histogram of the final (post-AQE) executed plan,
+    descending into materialized query stages but not cached plans."""
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan()
+    try:
+        inner = plan.executedPlan()  # AdaptiveSparkPlanExec -> final
+    except Exception:
+        inner = plan
+    counts: dict = {}
+
+    def walk(p):
+        name = p.nodeName()
+        counts[name] = counts.get(name, 0) + 1
+        if "InMemoryTableScan" in name:
+            return
+        ch = p.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+        if "QueryStage" in name:
+            try:
+                walk(p.plan())
+            except Exception:
+                pass
+
+    walk(inner)
+    return counts
+
+
+def test_graphstore_equal_results_fewer_exchanges(spark):
+    """The pre-partitioned GraphStore (bucketed-storage analog) must
+    give identical matches and, in the non-broadcast regime (the 100 TB
+    shape, simulated by disabling broadcast), strictly fewer shuffle
+    exchanges on a chain expansion."""
+    from motive_rdf_spark.operators.bgp import GraphStore, prepare_triples
+
+    g = prepare_triples(chain_graph(spark, 300)).persist()
+    g.count()
+    pat = Pattern([(-1, 0, 0), (-1, 2, -2), (-2, 1, 1)])
+    store = GraphStore(g)
+    store.by_s.count(), store.by_o.count()
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        d_plain, d_store = find(g, pat), find(store, pat)
+        assert rows_set(d_plain) == rows_set(d_store)
+        ex_plain = _executed_op_counts(d_plain).get("Exchange", 0)
+        ex_store = _executed_op_counts(d_store).get("Exchange", 0)
+        assert ex_store < ex_plain, (ex_store, ex_plain)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    store.unpersist()
+    g.unpersist()

@@ -95,3 +95,67 @@ def test_cli_multi_experiment(spark, tmp_path):
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert "best motif set" in res.stdout
+
+
+def test_cli_synthetic_experiment(spark, tmp_path):
+    """Quality-sweep CSV golden shape: scores.csv has 2 columns per
+    instance count, the focus column's frequency for the planted motif
+    row is >= its injection count, and score grows with instances."""
+    out = str(tmp_path)
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "motive_rdf_spark",
+            "--experiment", "synthetic", "--nodes", "300", "--links", "900",
+            "--relations", "5", "--instances", "0", "60",
+            "--iterations", "3", "--seed", "7", "--topk", "5",
+            "--max-time", "5", "--output", out,
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo", "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    import csv
+
+    with open(f"{out}/scores.csv") as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == ["score_0", "freq_0", "score_60", "freq_60"]
+    assert len(rows) >= 2  # at least the warm-start motif retained
+    motifs = open(f"{out}/motifs.csv").read().strip().splitlines()
+    assert len(motifs) == len(rows) - 1
+    # the top motif must be recovered much more often in the 60-instance
+    # graph than in the clean graph, with a higher score
+    top = [float(rows[1][0]), int(rows[1][1]), float(rows[1][2]), int(rows[1][3])]
+    assert top[3] >= 60 and top[3] > top[1]
+    assert top[2] > top[0]
+
+
+def test_cli_classification_experiment(spark, tmp_path):
+    out = str(tmp_path / "cls")
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "motive_rdf_spark",
+            "--experiment", "classification", "--data", "planted:300,900,5,60",
+            "--warm=-1,0,-2;-1,1,-3;-2,2,-3",
+            "--iterations", "4", "--seed", "3", "--topk", "2",
+            "--max-time", "5", "--output", out,
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+        env={**__import__("os").environ, "PYTHONPATH": "/root/repo", "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    complete = spark.read.csv(f"{out}/complete", schema="s long, p long, o long")
+    total = complete.count()
+    assert total > 0
+    simp1 = spark.read.csv(
+        f"{out}/simplified-byscore-top1", schema="s long, p long, o long"
+    )
+    assert 0 < simp1.count() < total  # a strict simplification
+    n1 = spark.read.csv(f"{out}/neighborhood-1", schema="s long, p long, o long")
+    n3 = spark.read.csv(f"{out}/neighborhood-3", schema="s long, p long, o long")
+    assert 0 < n1.count() <= n3.count() <= total

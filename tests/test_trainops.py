@@ -168,3 +168,29 @@ def test_frame_sample_plan_grid(spark):
     assert joined  # some media are videos
     for r in joined:
         assert r["frames"] == max(r["d"] - 1, 0) // 1000 + 1
+
+
+def test_ivf_ann_finds_planted_clone_and_recall(spark):
+    """IVF ANN: a planted exact clone lands in the same centroid cell
+    (identical vector -> identical assignment) and must be top-1; with
+    nprobe = num_clusters the search degrades gracefully to exact."""
+    from motive_rdf_spark.operators.similarity import ivf_ann_topk
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(40)
+    clones = emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(clones)
+    ann = ivf_ann_topk(emb, corpus, k=1, num_clusters=8, nprobe=2, seed=3)
+    rows = {r["query_id"]: (r["neighbor_id"], r["sim"]) for r in ann.collect()}
+    assert len(rows) == 40
+    for qid, (nid, sim) in rows.items():
+        assert nid == qid + 10000 and sim == pytest.approx(1.0, abs=1e-3)
+    # full-probe IVF == exact brute force (same top-1 per query)
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in cosine_topk(emb, corpus, k=1).collect()
+    }
+    full = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_ann_topk(emb, corpus, k=1, num_clusters=8, nprobe=8, seed=3).collect()
+    }
+    assert full == exact
