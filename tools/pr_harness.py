@@ -122,6 +122,40 @@ def main() -> int:
         )
         t.unpersist()
 
+    # ---- axis 2b: HDT golden supports (aifb/mutag) --------------------
+    data = "/root/reference/src/main/resources/data"
+    if os.path.exists(f"{data}/aifb.complete.hdt"):
+        from motive_rdf_spark.sources.hdt import encode_hdt_graph
+        from motive_rdf_spark.sources.ntriples import term_id as _tid
+
+        swrs = "http://swrc.ontoware.org/ontology#"
+        mtg = "http://dl-learner.org/carcinogenesis#"
+        a, _nd, apd = encode_hdt_graph(spark, f"{data}/aifb.complete.hdt")
+        a = prepare_triples(a).persist()
+        pub = _tid(apd, f"{swrs}publication")
+        auth = _tid(apd, f"{swrs}author")
+        rtype = _tid(apd, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+        got = {
+            ("aifb_row2", find(a, Pattern([(-1, pub, -2), (-2, -3, -1)])).count()),
+            ("aifb_row3", find(a, Pattern([(-1, pub, -2), (-2, auth, -1)])).count()),
+            ("aifb_row4", find(a, Pattern([(-1, pub, -2), (-2, rtype, -3), (-2, auth, -1)])).count()),
+        }
+        a.unpersist()
+        mgr, _nd2, mpd = encode_hdt_graph(spark, f"{data}/mutag.complete.hdt")
+        mgr = prepare_triples(mgr).persist()
+        ha, hb, ib = (_tid(mpd, f"{mtg}{x}") for x in ("hasAtom", "hasBond", "inBond"))
+        got.add(
+            ("mutag_top", find(mgr, Pattern([(-1, ha, -3), (-1, hb, -2), (-2, ib, -3)])).count())
+        )
+        mgr.unpersist()
+        exp = {
+            ("aifb_row2", 4154),
+            ("aifb_row3", 3965),
+            ("aifb_row4", 7930),
+            ("mutag_top", 18634),
+        }
+        rows.append(("HDT golden supports (aifb/mutag)", *pr(got, exp)))
+
     # ---- axis 3: planted-motif instance recovery ----------------------
     pat_edges = [(-1, 0, -2), (-1, 1, -3), (-2, 2, -3)]
     n_base, m, r, k = 400, 800, 7, 25
