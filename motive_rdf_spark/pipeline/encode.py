@@ -16,19 +16,19 @@ ONE task, which is wrong at 1e9 dictionary entries. Instead:
   1. range-repartition + sort the distinct terms (one shuffle, all
      parallel);
   2. count rows per partition (tiny collect: one long per partition);
-  3. add each partition's exclusive prefix-sum offset to its local
-     Arrow-batch cumulative count inside ``mapInPandas``.
+  3. rank *within* each physical partition (``row_number`` partitioned
+     by ``spark_partition_id`` — each partition is its own window
+     group, so the rank runs parallel and JVM-side) and add the
+     partition's exclusive prefix-sum offset via a broadcast map
+     literal.
 
-Same output as the window version (tests assert equality), no
-single-task bottleneck.
+Same output as the global-window version (tests assert equality), no
+single-task bottleneck, no Python/Arrow round-trip.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def dense_ids(df: DataFrame, col: str, id_col: str = "id", num_partitions: int | None = None) -> DataFrame:
@@ -51,30 +51,23 @@ def dense_ids(df: DataFrame, col: str, id_col: str = "id", num_partitions: int |
         r["_pid"]: r["cnt"]
         for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
-    offsets: dict[int, int] = {}
+    if not sizes:  # empty dictionary batch (e.g. no new terms on resume)
+        return d.select(col).withColumn(id_col, F.lit(0).cast("long"))
+    pairs: list = []
     acc = 0
     for pid in sorted(sizes):
-        offsets[pid] = acc
+        pairs += [F.lit(pid), F.lit(acc)]
         acc += sizes[pid]
+    offset = F.create_map(*pairs)
 
-    schema = f"{col} string, {id_col} long"
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        local = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            base = offsets[int(pdf["_pid"].iloc[0])]
-            out = pd.DataFrame(
-                {
-                    col: pdf[col],
-                    id_col: range(base + local, base + local + len(pdf)),
-                }
-            )
-            local += len(pdf)
-            yield out
-
-    return d.mapInPandas(assign, schema)
+    w = Window.partitionBy("_pid").orderBy(col)
+    return (
+        d.withColumn(
+            id_col,
+            (F.row_number().over(w) - 1 + offset[F.col("_pid")]).cast("long"),
+        )
+        .select(col, id_col)
+    )
 
 
 def encode_triples(

@@ -104,6 +104,13 @@ def link_mentions(
         return exact.filter(F.col("score") >= min_score)
 
     rest = m.join(exact.select("mention"), "mention", "left_anti")
+    # closed-vocabulary fast path: when every mention hits exactly (the
+    # common case for code-entity linking against a complete symbol
+    # dictionary), skip the fuzzy residual plan entirely — it would
+    # broadcast a 3x-replicated candidate table and build per-mention
+    # block structs for zero rows. One cheap probe job buys it.
+    if rest.isEmpty():
+        return exact.filter(F.col("score") >= min_score)
     blk_m = F.struct(
         F.substring("mention", 1, 4).alias("pfx"),
         (F.length("mention") / 4).cast("int").alias("lb"),
