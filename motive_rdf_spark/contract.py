@@ -796,6 +796,29 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+@q("streaming_extract", None)
+def streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KG extraction (streaming/construct.py): the synthesized
+    source table staged as a drop directory, drained with
+    Trigger.AvailableNow through the same Arrow-batched extractor as
+    batch. Deterministic output; streaming checkpoint semantics are not
+    SQL-expressible -> rows-only (incremental==batch equality is pinned
+    by tests/test_streaming.py)."""
+    import tempfile
+
+    from motive_rdf_spark.data.generators import source_code_table
+    from motive_rdf_spark.streaming.construct import (
+        load_string_triples,
+        run_extract_stream,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="swc_stream_src_")
+    out_dir = tempfile.mkdtemp(prefix="swc_stream_out_")
+    source_code_table(spark, 100).drop("k").write.mode("overwrite").parquet(src_dir)
+    run_extract_stream(spark, src_dir, out_dir)
+    return load_string_triples(spark, out_dir).select("subj", "pred", "obj")
+
+
 @q("dogfood_goldens", None)
 def dogfood_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's own dataset goldens as one result table:

@@ -53,3 +53,49 @@ def test_stateful_sessionize_matches_batch_window(spark, tmp_path):
     fn, _ = registry()["sessionize"]
     exp = {r["user_id"]: r["sessions"] for r in fn(spark, SF).collect()}
     assert got == exp
+
+
+def test_streaming_extraction_incremental_equals_batch(spark, tmp_path):
+    """Streaming KG extraction (streaming/construct.py): two source
+    drops drained by two AvailableNow runs must (a) process each file
+    exactly once (the checkpoint skips already-committed files) and
+    (b) produce exactly the batch extractor's output over the full
+    source."""
+    from motive_rdf_spark.data.generators import source_code_table
+    from motive_rdf_spark.pipeline.extract import extract_triples
+    from motive_rdf_spark.streaming.construct import (
+        load_string_triples,
+        run_extract_stream,
+    )
+
+    src_dir = str(tmp_path / "drops")
+    out_dir = str(tmp_path / "stream_out")
+    full = source_code_table(spark, 40, commits=2).drop("k").persist()
+    full.count()
+    snaps = sorted(r["commit"] for r in full.select("commit").distinct().collect())
+
+    # drop 1 -> drain -> drop 2 -> drain
+    full.filter(F.col("commit") == snaps[0]).write.mode("append").parquet(src_dir)
+    run_extract_stream(spark, src_dir, out_dir)
+    n1 = load_string_triples(spark, out_dir).count()
+    assert n1 == extract_triples(full.filter(F.col("commit") == snaps[0])).count()
+
+    full.filter(F.col("commit") == snaps[1]).write.mode("append").parquet(src_dir)
+    run_extract_stream(spark, src_dir, out_dir)
+
+    got = {
+        tuple(r)
+        for r in load_string_triples(spark, out_dir)
+        .select("subj", "pred", "obj", "content_sha")
+        .collect()
+    }
+    exp = {
+        tuple(r)
+        for r in extract_triples(full).select("subj", "pred", "obj", "content_sha").collect()
+    }
+    assert got == exp
+    # a third drain with nothing new must add zero rows (exactly-once)
+    n_before = load_string_triples(spark, out_dir).count()
+    run_extract_stream(spark, src_dir, out_dir)
+    assert load_string_triples(spark, out_dir).count() == n_before
+    full.unpersist()
