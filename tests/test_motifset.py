@@ -30,7 +30,7 @@ def test_prune_values_shared_seen():
 
 
 def test_motif_set_score_beats_null_on_planted(spark):
-    g = planted_graph(spark, n=300, m=900, r=5, pattern_edges=TRIANGLE, k=60, seed=3).persist()
+    g = planted_graph(spark, n=200, m=600, r=5, pattern_edges=TRIANGLE, k=60, seed=3).persist()
     g.count()
     nb = null_bits(g)
     sc = score_motif_set(g, [Pattern(TRIANGLE)])
@@ -46,7 +46,7 @@ def test_score_motif_set_distributed_equals_driver(spark):
     """The distributed shared-seen prune (prune_values_df path, forced
     via driver_prune_threshold=0) must reproduce the driver-exact joint
     score and per-pattern frequencies (VERDICT r1 item 1)."""
-    g = planted_graph(spark, n=300, m=900, r=5, pattern_edges=TRIANGLE, k=40, seed=9).persist()
+    g = planted_graph(spark, n=200, m=600, r=5, pattern_edges=TRIANGLE, k=30, seed=9).persist()
     g.count()
     pats = [Pattern(TRIANGLE), Pattern([(-1, 0, -2)]), Pattern([(-1, 1, -2)])]
     drv = score_motif_set(g, pats, driver_prune_threshold=10**9)

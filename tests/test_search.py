@@ -62,10 +62,12 @@ def test_canonical_output_is_valid():
 
 def test_sa_smoke_hub_graph(spark):
     """1000-iteration smoke on Datasets.test(100)-equivalent
-    (SimAnnealingTest.java:19-56) — scaled to 60 iterations for CI."""
+    (SimAnnealingTest.java:19-56) — scaled to 25 iterations for CI
+    (with the fixed EXTEND every proposal is a real candidate, so the
+    hub motif is found well within this budget)."""
     g = hub_graph(spark, 100).persist()
     g.count()
-    sa = SimAnnealing(g, SAConfig(iterations=60, seed=11, sample_rows=10))
+    sa = SimAnnealing(g, SAConfig(iterations=25, seed=11, sample_rows=10))
     state = sa.run()
     assert state.num_pos >= 1  # the hub motif compresses
     top = by_score(state, 5)
@@ -84,7 +86,7 @@ def test_sa_retains_planted_motif(spark):
     pat = [(-1, 0, -2), (-1, 1, -3), (-2, 2, -3)]
     g = planted_graph(spark, n=300, m=900, r=5, pattern_edges=pat, k=60, seed=3).persist()
     g.count()
-    sa = SimAnnealing(g, SAConfig(iterations=15, seed=5), init_pattern=Pattern(pat))
+    sa = SimAnnealing(g, SAConfig(iterations=8, seed=5), init_pattern=Pattern(pat))
     state = sa.run()
     assert state.results, "planted motif not retained"
     best = by_score(state, 10)
@@ -126,6 +128,6 @@ def test_extend_preserves_constant_anchor(spark):
 def test_sa_parallel_merges_chains(spark):
     g = hub_graph(spark, 80).persist()
     g.count()
-    state = sa_parallel(g, chains=2, config=SAConfig(iterations=25, seed=9))
+    state = sa_parallel(g, chains=2, config=SAConfig(iterations=12, seed=9))
     assert state.results  # hub motif compresses; chains merged min-score
     g.unpersist()
