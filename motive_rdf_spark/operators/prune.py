@@ -113,9 +113,11 @@ def prune_matches_df(
         active = it.join(dead0, "__rank", "left_anti")
     kept_ranks: DataFrame | None = None
     spark = matches.sparkSession
+    converged = False
     for _ in range(max_rounds):
         active = active.localCheckpoint(eager=True)  # cut lineage per round
         if active.isEmpty():
+            converged = True
             break
         # rank-minimal on every triple among active instances
         wmin = active.groupBy("__t").agg(F.min("__rank").alias("__wrank"))
@@ -132,11 +134,33 @@ def prune_matches_df(
         taken = active.join(keep_now, "__rank").select("__t").distinct()
         dead = active.join(taken, "__t").select("__rank").distinct()
         active = active.join(dead, "__rank", "left_anti")
-    else:
-        raise RuntimeError("prune fixpoint did not converge")
-    if kept_ranks is None:
-        return matches.limit(0)
-    return (
-        ranked.join(kept_ranks, "__rank")
-        .select(*matches.columns)
+
+    kept = (
+        matches.limit(0)
+        if kept_ranks is None
+        else ranked.join(kept_ranks, "__rank").select(*matches.columns)
     )
+    if converged:
+        return kept
+    # Pathological conflict chain (each round settles only ~2 chain
+    # positions, so an L-long overlap chain needs L/2 rounds — real
+    # graphs can exceed max_rounds). Every kept/dead decision so far is
+    # FINAL, and the surviving residual shares no triple with any kept
+    # instance (it would have been killed), so finishing the residual
+    # with the driver-sequential greedy in rank order is exact. The
+    # residual is bounded by the caller's match budget, so the collect
+    # is safe by construction.
+    residual_rows = [
+        list(r)
+        for r in ranked.join(active.select("__rank").distinct(), "__rank")
+        .select(*matches.columns)
+        .collect()
+    ]
+    residual_rows.sort()  # binding-tuple order == rank order
+    kept_res = prune_matches(pattern, residual_rows)
+    if not kept_res:
+        return kept
+    res_df = spark.createDataFrame(
+        [tuple(x) for x in kept_res], matches.select(*matches.columns).schema
+    )
+    return kept.unionByName(res_df)

@@ -159,3 +159,22 @@ def test_compression_detects_planted_motif(spark):
         score2 = score_motif(rnd, pat, kept2_df, gn2, gm2, gr2)
         # allow small slack as the reference does (5 bits, MotifCodeTest.java:561)
         assert score2.total > nb2 - 50, (score2, nb2)
+
+
+def test_prune_distributed_long_chain_fallback(spark):
+    """A path graph makes a conflict chain longer than the fixpoint's
+    round budget (each round settles ~2 chain positions). The driver
+    completion for the residual must still reproduce the sequential
+    greedy exactly (the non-convergence case previously raised)."""
+    n = 120
+    rows = [(i, 0, i + 1) for i in range(n)]
+    g = spark.createDataFrame(rows, "s long, p long, o long")
+    pat = Pattern([(-1, 0, -2), (-2, 0, -3)])  # consecutive matches overlap
+    matches = find(g, pat)
+    drv = prune_matches(pat, sorted([list(r) for r in matches.collect()]))
+    # max_rounds far below the chain length -> exercises the fallback
+    got = sorted([list(r) for r in prune_matches_df(pat, matches, max_rounds=5).collect()])
+    assert got == sorted(drv)
+    # and the pure fixpoint (enough rounds) agrees too
+    full = sorted([list(r) for r in prune_matches_df(pat, matches, max_rounds=200).collect()])
+    assert full == sorted(drv)
