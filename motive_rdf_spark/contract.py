@@ -735,6 +735,28 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, emb, k=5)
 
 
+_NEAR_DUP_SQL = """
+WITH u AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 120
+)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(a.e, b.e), 4) AS sim
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+"""
+
+
+@q("cosine_near_dup", _NEAR_DUP_SQL)
+def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact baseline on a
+    capped slice; the LSH-bucketed variant is the scale path, pinned
+    by tests/test_trainops.py)."""
+    from motive_rdf_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 120)
+    return cosine_near_dup_pairs(emb, threshold=0.3)
+
+
 @q("lsh_ann", None)
 def lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (bucketed candidate scoring — the

@@ -107,6 +107,54 @@ def lsh_sketch(
     return emb.withColumn("bucket", bucket.cast("long"))
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    lsh: bool = False,
+    dim: int | None = None,
+    num_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate detection: all unordered pairs (a < b)
+    with cosine >= ``threshold``. Returns [a, b, sim(4dp)].
+
+    ``lsh=False`` (default): exact all-pairs — the oracle baseline;
+    cap the input. ``lsh=True``: candidates from same-bucket plus
+    Hamming-1 multi-probe of the sign-bit sketch, verified exactly —
+    cost ~ Σ bucket², never |C|²; true near-dups (cosine ~1) agree on
+    nearly every hyperplane so they share or neighbor a bucket whp.
+    """
+    c = with_unit_vectors(corpus, vec_col)
+    if not lsh:
+        a = c.select(F.col(id_col).alias("a"), F.col("_unit").alias("_av"))
+        b = c.select(F.col(id_col).alias("b"), F.col("_unit").alias("_bv"))
+        pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    else:
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        sk = lsh_sketch(c, dim, num_planes, seed, "_unit")
+        a = sk.select(F.col(id_col).alias("a"), F.col("_unit").alias("_av"), "bucket")
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(2**p)) for p in range(num_planes)],
+        )
+        a = a.withColumn("bucket", F.explode(probes))
+        b = sk.select(F.col(id_col).alias("b"), F.col("_unit").alias("_bv"), "bucket")
+        pairs = (
+            a.join(b, "bucket")
+            .filter(F.col("a") < F.col("b"))
+            .dropDuplicates(["a", "b"])
+        )
+    sim = _dot(F.col("_av"), F.col("_bv"))
+    return (
+        pairs.withColumn("_sim", sim)
+        .filter(F.col("_sim") >= threshold)
+        .select("a", "b", F.round("_sim", 4).alias("sim"))
+    )
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     num_clusters: int = 16,

@@ -194,3 +194,29 @@ def test_ivf_ann_finds_planted_clone_and_recall(spark):
         for r in ivf_ann_topk(emb, corpus, k=1, num_clusters=8, nprobe=8, seed=3).collect()
     }
     assert full == exact
+
+
+def test_cosine_near_dup_lsh_subset_and_clone_recall(spark):
+    """LSH-bucketed near-dup pairs must be a subset of the exact pairs
+    with identical sims, and exact clones (cosine 1.0 — identical
+    sketches) must always be recovered."""
+    from motive_rdf_spark.operators.similarity import cosine_near_dup_pairs
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").limit(40)
+    clones = emb.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    corpus = emb.select("vec_id", "embedding").unionByName(clones).persist()
+    corpus.count()
+    exact = {
+        (r["a"], r["b"]): r["sim"]
+        for r in cosine_near_dup_pairs(corpus, threshold=0.3).collect()
+    }
+    approx = {
+        (r["a"], r["b"]): r["sim"]
+        for r in cosine_near_dup_pairs(corpus, threshold=0.3, lsh=True).collect()
+    }
+    assert set(approx) <= set(exact)
+    assert all(exact[k] == v for k, v in approx.items())
+    # every (v, clone) pair has cosine 1.0 and identical sketch -> found
+    for r in emb.select("vec_id").collect():
+        assert (r["vec_id"], r["vec_id"] + 10000) in approx
+    corpus.unpersist()
