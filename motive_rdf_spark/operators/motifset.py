@@ -108,13 +108,22 @@ def score_motif_set(
     both compute the same sequential-greedy result in canonical order.
 
     Returns total bits and per-pattern kept-instance frequencies.
+
+    ``triples`` may be a ``bgp.GraphStore`` — match jobs then reuse the
+    pre-partitioned copies; degree aggregations read the plain graph.
     """
+    from motive_rdf_spark.operators.bgp import GraphStore
+
+    store = triples if isinstance(triples, GraphStore) else None
+    if store is not None:
+        triples = store.plain
     spark = triples.sparkSession
     patterns = sort_patterns(patterns)
     n, m, r = deg.graph_dims(triples)
 
     bounded = [
-        find(triples, pat).limit(max_matches).persist() for pat in patterns
+        find(store if store is not None else triples, pat).limit(max_matches).persist()
+        for pat in patterns
     ]
     counts = [b.count() for b in bounded]
 

@@ -69,18 +69,25 @@ class _TransitionHelper(SimAnnealing):
 
 
 class SimAnnealingMulti:
-    """SA over motif sets with joint MDL scoring."""
+    """SA over motif sets with joint MDL scoring.
+
+    ``triples`` may be a ``bgp.GraphStore`` to reuse pre-partitioned
+    graph copies across every member-pattern match job."""
 
     def __init__(self, triples: DataFrame, config: MultiConfig | None = None):
+        from motive_rdf_spark.operators.bgp import GraphStore
+
         self.cfg = config or MultiConfig()
         self.rng = random.Random(self.cfg.seed)
-        self.triples = triples
+        self._src = triples
+        self.triples = triples.plain if isinstance(triples, GraphStore) else triples
         self.helper = _TransitionHelper(
-            triples,
+            self.triples,
             SAConfig(max_matches=self.cfg.max_matches, seed=self.cfg.seed),
             self.rng,
         )
-        self.state = MultiState(null_bits=null_bits(triples))
+        self.helper._match_src = self._src
+        self.state = MultiState(null_bits=null_bits(self.triples))
         self.motifs: list[Pattern] = [self.helper._init_pattern()]
         self.score = self._score(self.motifs)
 
@@ -90,7 +97,7 @@ class SimAnnealingMulti:
         if key in st.score_cache:
             return st.score_cache[key]
         sc = score_motif_set(
-            self.triples,
+            self._src,
             patterns,
             self.cfg.max_matches,
             driver_prune_threshold=self.cfg.driver_prune_threshold,
@@ -154,15 +161,19 @@ class GAMulti:
     """Generational GA over motif sets (GAMulti.java:203-299)."""
 
     def __init__(self, triples: DataFrame, config: GAConfig | None = None):
+        from motive_rdf_spark.operators.bgp import GraphStore
+
         self.cfg = config or GAConfig()
         self.rng = random.Random(self.cfg.seed)
-        self.triples = triples
+        self._src = triples
+        self.triples = triples.plain if isinstance(triples, GraphStore) else triples
         self.helper = _TransitionHelper(
-            triples,
+            self.triples,
             SAConfig(max_matches=self.cfg.max_matches, seed=self.cfg.seed),
             self.rng,
         )
-        self.null = null_bits(triples)
+        self.helper._match_src = self._src
+        self.null = null_bits(self.triples)
         self.score_cache: dict[tuple, float] = {}
         self.population: list[list[Pattern]] = [
             [self.helper._init_pattern()] for _ in range(self.cfg.population)
@@ -172,7 +183,7 @@ class GAMulti:
         key = set_key(patterns)
         if key not in self.score_cache:
             self.score_cache[key] = score_motif_set(
-                self.triples,
+                self._src,
                 patterns,
                 self.cfg.max_matches,
                 driver_prune_threshold=self.cfg.driver_prune_threshold,
