@@ -561,13 +561,18 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("query_log_bgps", None)
+from motive_rdf_spark import oracles as _orc
+
+
+@q("query_log_bgps", _orc.query_log_sql(200))
 def query_log_bgps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL query-log scan (exec/Queries.java:39-97): url_decode +
-    regexp WHERE-body extraction over a seeded synthetic log."""
+    regexp WHERE-body extraction over a seeded synthetic log. The
+    oracle recomputes the pattern-count histogram analytically from the
+    log generator's closed form (portable md5 hashing)."""
     from motive_rdf_spark.sources.querylog import extract_bgps, synthesize_query_log
 
-    log = synthesize_query_log(spark, 200).select(
+    log = synthesize_query_log(spark, 200, hash_fn="md5").select(
         F.url_decode(F.col("value")).alias("query")
     )
     return extract_bgps(log).groupBy("n_triple_patterns").agg(F.count("*").alias("n"))
@@ -575,75 +580,88 @@ def query_log_bgps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # KG-construction pipeline (north_star): synthesized source-code table →
-# extract → link → canonicalize. Generators are seeded/deterministic but
-# hash-based (not reproducible in ANSI SQL) → rows-only driver checks;
-# exact semantics are pinned by tests/test_pipeline.py goldens.
+# extract → link → canonicalize. The contract entries use the generators'
+# engine-portable md5 hash mode so the DuckDB oracle (oracles.py)
+# reconstructs the identical input and computes the expected output
+# independently (closed-form fixture semantics / recursive-SQL CC).
 # ---------------------------------------------------------------------------
 
 _PIPE_ROWS = 300
 
 
-@q("pipeline_extract", None)
+@q("pipeline_extract", _orc.pipeline_extract_sql(_PIPE_ROWS))
 def pipeline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized pandas-UDF triple extraction over the synthesized
-    source-code table (north_star; extract.py). Deterministic: seeded
-    generator + pure extraction."""
+    source-code table (north_star; extract.py). Oracle: closed-form
+    per-predicate counts over the reconstructed table."""
     from motive_rdf_spark.data.generators import source_code_table
     from motive_rdf_spark.pipeline.extract import extract_triples
 
-    src = source_code_table(spark, _PIPE_ROWS).drop("k")
+    src = source_code_table(spark, _PIPE_ROWS, hash_fn="md5").drop("k")
     return extract_triples(src).groupBy("pred").agg(F.count("*").alias("n")).orderBy("pred")
 
 
-@q("pipeline_link", None)
+@q("pipeline_link", _orc.pipeline_link_sql(_PIPE_ROWS))
 def pipeline_link(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity linking vs broadcast candidate dictionary (link.py)."""
+    """Entity linking vs broadcast candidate dictionary (link.py).
+    Oracle: reconstructed mentions ⋈ reconstructed dictionary with the
+    exact-tier score formula; score compared at 6dp."""
     from motive_rdf_spark.data.generators import candidate_dict, source_code_table
     from motive_rdf_spark.pipeline.extract import extract_triples
     from motive_rdf_spark.pipeline.link import link_mentions
 
-    src = source_code_table(spark, _PIPE_ROWS).drop("k")
+    src = source_code_table(spark, _PIPE_ROWS, hash_fn="md5").drop("k")
     mentions = (
         extract_triples(src)
         .filter(F.col("pred") == "calls")
         .select(F.col("obj").alias("mention"))
     )
-    return link_mentions(mentions, candidate_dict(spark, _PIPE_ROWS)).orderBy("mention")
+    linked = link_mentions(mentions, candidate_dict(spark, _PIPE_ROWS, hash_fn="md5"))
+    return linked.select(
+        "mention", "entity_id", F.round("score", 6).alias("score")
+    ).orderBy("mention")
 
 
-@q("pipeline_canonicalize", None)
+@q("pipeline_canonicalize", _orc.pipeline_canonicalize_sql())
 def pipeline_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected-components canonicalization with salted min-aggregation
-    (canonicalize.py) over a seeded same_as graph."""
+    (canonicalize.py) over a seeded same_as graph. Oracle: an
+    independent recursive-SQL transitive closure over the same edges."""
+    from motive_rdf_spark.data.generators import seeded_hash
     from motive_rdf_spark.pipeline.canonicalize import connected_components
 
     edges = spark.range(400).select(
-        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(150)).alias("src"),
-        F.pmod(F.xxhash64("id", F.lit(8)), F.lit(150)).alias("dst"),
+        F.pmod(seeded_hash("md5", F.col("id"), F.lit(7)), F.lit(150)).alias("src"),
+        F.pmod(seeded_hash("md5", F.col("id"), F.lit(8)), F.lit(150)).alias("dst"),
     )
     return connected_components(edges).orderBy("node")
 
 
-@q("pipeline_end_to_end", None)
+@q("pipeline_end_to_end", _orc.pipeline_end_to_end_sql(_PIPE_ROWS))
 def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full construction DAG in-memory (no writes): extract → link →
-    encode → canonicalize → final (s,p,o) aggregated per predicate."""
+    encode → canonicalize → final triples rolled up per predicate
+    (decoded, so the oracle compares on strings — counts are invariant
+    under the dense-id bijection)."""
     from motive_rdf_spark.data.generators import candidate_dict, source_code_table
     from motive_rdf_spark.pipeline.canonicalize import canonical_entities, rewrite_triples
     from motive_rdf_spark.pipeline.encode import encode_triples
     from motive_rdf_spark.pipeline.materialize import SAME_AS, build_string_triples
 
-    src = source_code_table(spark, _PIPE_ROWS, commits=2).drop("k")
-    strs = build_string_triples(src, candidate_dict(spark, _PIPE_ROWS)).persist()
+    src = source_code_table(spark, _PIPE_ROWS, commits=2, hash_fn="md5").drop("k")
+    strs = build_string_triples(
+        src, candidate_dict(spark, _PIPE_ROWS, hash_fn="md5")
+    ).persist()
     enc, _, pred_dict = encode_triples(strs.select("subj", "pred", "obj"))
     said = pred_dict.filter(F.col("term") == SAME_AS).collect()[0]["id"]
     sa = enc.filter(F.col("p") == said).select(F.col("s").alias("src"), F.col("o").alias("dst"))
     final = rewrite_triples(enc.filter(F.col("p") != said), canonical_entities(sa))
     return (
         final.dropDuplicates()
-        .groupBy("p")
+        .join(F.broadcast(pred_dict.select(F.col("id").alias("p"), F.col("term").alias("pred"))), "p")
+        .groupBy("pred")
         .agg(F.count("*").alias("n_triples"), F.countDistinct("s").alias("n_subjects"))
-        .orderBy("p")
+        .orderBy("pred")
     )
 
 
@@ -769,17 +787,19 @@ def lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(emb, emb, dim=dim, k=5)
 
 
-@q("ivf_ann", None)
+@q("ivf_ann", _COSINE_TOPK_SQL)
 def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means coarse-quantized cells, nprobe-cell search
-    (operators/similarity.ivf_ann_topk). Deterministic (seeded
-    quantizer) but k-means is not SQL-expressible -> rows-only;
-    exactness vs brute force pinned by
+    (operators/similarity.ivf_ann_topk). Run here at full probe
+    (nprobe == num_clusters): every query scores every cell, so the
+    result must equal the exact brute-force top-k — checked against
+    the independent DuckDB cosine oracle. The approximate regime
+    (nprobe << num_clusters) is pinned by
     tests/test_trainops.py::test_ivf_ann_finds_planted_clone_and_recall."""
     from motive_rdf_spark.operators.similarity import ivf_ann_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return ivf_ann_topk(emb, emb, k=5, num_clusters=16, nprobe=2, seed=7)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return ivf_ann_topk(emb, emb, k=5, num_clusters=8, nprobe=8, seed=7)
 
 
 @q("multimodal_features", None)
@@ -818,14 +838,16 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@q("streaming_extract", None)
+@q("streaming_extract", _orc.streaming_extract_sql(100))
 def streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming KG extraction (streaming/construct.py): the synthesized
     source table staged as a drop directory, drained with
     Trigger.AvailableNow through the same Arrow-batched extractor as
-    batch. Deterministic output; streaming checkpoint semantics are not
-    SQL-expressible -> rows-only (incremental==batch equality is pinned
-    by tests/test_streaming.py)."""
+    batch. Oracle: the closed-form expected triple set for the
+    reconstructed source table — the streamed output must equal it
+    exactly (exactly-once semantics; incremental==batch equality is
+    additionally pinned by tests/test_streaming.py)."""
+    import shutil
     import tempfile
 
     from motive_rdf_spark.data.generators import source_code_table
@@ -836,18 +858,38 @@ def streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src_dir = tempfile.mkdtemp(prefix="swc_stream_src_")
     out_dir = tempfile.mkdtemp(prefix="swc_stream_out_")
-    source_code_table(spark, 100).drop("k").write.mode("overwrite").parquet(src_dir)
-    run_extract_stream(spark, src_dir, out_dir)
-    return load_string_triples(spark, out_dir).select("subj", "pred", "obj")
+    try:
+        source_code_table(spark, 100, hash_fn="md5").drop("k").write.mode(
+            "overwrite"
+        ).parquet(src_dir)
+        run_extract_stream(spark, src_dir, out_dir)
+        rows = load_string_triples(spark, out_dir).select("subj", "pred", "obj")
+        # materialize before the scratch dirs are removed (ADVICE r2:
+        # don't leak a pair of mkdtemp dirs per invocation)
+        out = spark.createDataFrame(
+            rows.collect(), "subj string, pred string, obj string"
+        )
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return out
 
 
-@q("dogfood_goldens", None)
+_DOGFOOD_GOLDENS_SQL = """
+SELECT query, CAST(support AS BIGINT) AS support FROM (VALUES
+  ('q1', 3307), ('q2', 3307), ('q3', 77897),
+  ('supplement_top_motif', 10475)) AS t(query, support)
+"""
+
+
+@q("dogfood_goldens", _DOGFOOD_GOLDENS_SQL)
 def dogfood_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's own dataset goldens as one result table:
     q1/q2/q3 support counts (FindTest.java:304-364 asserts
     3307/3307/77897) and the supplement's top-motif frequency (10475).
-    Deterministic; rows-only check (the expectations themselves are
-    pinned by tests/test_dogfood.py)."""
+    The oracle is a VALUES literal of the reference's own published
+    expectations — independent ground truth (FindTest.java asserts +
+    supplement.pdf p.1), not derived from this engine."""
     import os
 
     from motive_rdf_spark.operators.bgp import find
@@ -881,14 +923,24 @@ def dogfood_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-@q("hdt_goldens", None)
+_HDT_GOLDENS_SQL = """
+SELECT query, CAST(support AS BIGINT) AS support FROM (VALUES
+  ('aifb_triples', 29226), ('aifb_pub_anyback', 4154),
+  ('aifb_pub_authback', 3965),
+  ('mutag_triples', 74567), ('mutag_top_motif', 18634)
+  ) AS t(query, support)
+"""
+
+
+@q("hdt_goldens", _HDT_GOLDENS_SQL)
 def hdt_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AIFB/Mutag golden supports loaded straight from the reference's
     own ``.hdt`` binaries (sources/hdt.py; KGraph.loadHDT parity,
     KGraph.java:1197-1317): graph dims (SynthRep.java:47-49) plus the
     supplement's graph-invariant motif supports (AIFB rows 2-3, Mutag
-    top row). Deterministic; rows-only check — expectations are pinned
-    by tests/test_hdt.py."""
+    top row). The oracle is a VALUES literal of the reference's own
+    published numbers (SynthRep.java:47-49 + supplement tables) —
+    independent ground truth."""
     import os
 
     from motive_rdf_spark.operators.bgp import prepare_triples
@@ -929,28 +981,40 @@ def hdt_goldens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
-@q("motif_induction", None)
+@q("motif_induction", _orc.planted_support_sql(300, 900, 5, 60, 3))
 def motif_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end motif induction (search.py): SA over a seeded planted
-    graph; returns the retained motif set (canonical pattern, score,
-    frequency). Deterministic: fixed seed, warm start, fixed iteration
-    budget. Iterative search is not SQL-expressible → rows-only check;
-    semantics pinned by tests/test_search.py."""
+    graph (portable md5 hashing). The oracle reconstructs the graph in
+    SQL and independently computes the planted triangle's exact support
+    with a 3-way self-join; the search must (a) report that same raw
+    support, (b) retain the planted motif as its best-scoring result,
+    and (c) see its pruned frequency reach the k=60 disjoint planted
+    instances. Retained-set semantics beyond these checks are pinned by
+    tests/test_search.py."""
+    from motive_rdf_spark.canon import canonical_key
     from motive_rdf_spark.data.generators import planted_graph
+    from motive_rdf_spark.operators.bgp import find_count
     from motive_rdf_spark.patterns import Pattern
     from motive_rdf_spark.search import SAConfig, SimAnnealing, by_score
 
     pat = [(-1, 0, -2), (-1, 1, -3), (-2, 2, -3)]
-    g = planted_graph(spark, n=300, m=900, r=5, pattern_edges=pat, k=60, seed=3).persist()
+    g = planted_graph(
+        spark, n=300, m=900, r=5, pattern_edges=pat, k=60, seed=3, hash_fn="md5"
+    ).persist()
     g.count()
     sa = SimAnnealing(g, SAConfig(iterations=8, seed=5), init_pattern=Pattern(pat))
     state = sa.run()
+    top = by_score(state, 1)[0]
     rows = [
-        (str(r.pattern), float(round(r.score, 2)), int(r.frequency))
-        for r in by_score(state, 10)
+        ("planted_support", find_count(g, Pattern(pat))),
+        (
+            "top_is_planted",
+            int(canonical_key(top.pattern) == canonical_key(Pattern(pat))),
+        ),
+        ("top_frequency_ge_k", int(top.frequency >= 60)),
     ]
     g.unpersist()
-    return spark.createDataFrame(rows, "pattern string, score double, frequency long")
+    return spark.createDataFrame(rows, "metric string, value long")
 
 
 def registry() -> dict[str, tuple[QueryFn, str | None]]:

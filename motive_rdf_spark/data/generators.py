@@ -23,9 +23,29 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 TRIPLE_SCHEMA = "s long, p long, o long"
+
+
+def seeded_hash(hash_fn: str, *parts: Column) -> Column:
+    """Deterministic seeded hash column; call sites wrap with ``pmod``.
+
+    ``hash_fn="xx"``   — xxhash64 (fast JVM path; default everywhere).
+    ``hash_fn="md5"``  — engine-portable: first 15 hex chars of
+    md5(':'-joined parts) as a non-negative 60-bit long. Any SQL engine
+    with md5 computes the identical value
+    (``('0x' || substring(md5(x), 1, 15))::BIGINT`` in DuckDB), which is
+    what lets the driver's DuckDB oracle reconstruct these fixtures
+    exactly (oracles.py). Slower than xxhash64 — used by the contract
+    entries (hundreds of rows), not the bench-scale generators.
+    """
+    if hash_fn == "xx":
+        return F.xxhash64(*parts)
+    if hash_fn == "md5":
+        key = F.concat_ws(":", *[p.cast("string") for p in parts])
+        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
 
 
 def _as_triples(spark: SparkSession, rows: list[tuple[int, int, int]]) -> DataFrame:
@@ -79,19 +99,20 @@ def chain_graph(spark: SparkSession, middle: int, seed: int = 42) -> DataFrame:
 
 
 def random_graph(
-    spark: SparkSession, n: int, m: int, r: int, seed: int = 42
+    spark: SparkSession, n: int, m: int, r: int, seed: int = 42, hash_fn: str = "xx"
 ) -> DataFrame:
     """Seeded directed G(n, m) topology with uniform random predicate in
     [0, r) — ``KGraph.randomLabels`` semantics (KGraph.java:1553-1564).
 
     Self-loop-free, duplicate edges possible (as in the reference's
     RandomGraphs.random usage). Fully distributed: every column is a
-    hash of the row id.
+    hash of the row id. ``hash_fn="md5"`` makes the graph
+    reconstructible by the DuckDB oracle (seeded_hash).
     """
     df = spark.range(m).select(
-        F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(0)), F.lit(n)).alias("s"),
-        F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(1)), F.lit(r)).alias("p"),
-        F.pmod(F.xxhash64(F.col("id"), F.lit(seed), F.lit(2)), F.lit(n)).alias("o"),
+        F.pmod(seeded_hash(hash_fn, F.col("id"), F.lit(seed), F.lit(0)), F.lit(n)).alias("s"),
+        F.pmod(seeded_hash(hash_fn, F.col("id"), F.lit(seed), F.lit(1)), F.lit(r)).alias("p"),
+        F.pmod(seeded_hash(hash_fn, F.col("id"), F.lit(seed), F.lit(2)), F.lit(n)).alias("o"),
     )
     # avoid self loops deterministically: shift o by 1 when s == o
     return df.withColumn(
@@ -144,11 +165,12 @@ def planted_graph(
     pattern_edges: list[tuple[int, int, int]],
     k: int,
     seed: int = 42,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Base G(n,m,r) + k disjoint planted instances (FIXTURES.md §5).
     Planted nodes live above the base id space so instances stay disjoint
     from base-graph structure."""
-    base = random_graph(spark, n, m, r, seed)
+    base = random_graph(spark, n, m, r, seed, hash_fn)
     inst = plant_instances(spark, pattern_edges, k, node_offset=n, num_relations=r).drop("instance_id")
     return base.unionAll(inst)
 
@@ -165,7 +187,12 @@ SOURCE_SCHEMA = "repo string, path string, commit string, lang string, content s
 
 
 def source_code_table(
-    spark: SparkSession, rows: int, repos: int = 50, commits: int = 4, seed: int = 42
+    spark: SparkSession,
+    rows: int,
+    repos: int = 50,
+    commits: int = 4,
+    seed: int = 42,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Deterministic source-code table per BASELINE.json input_hint:
     (repo, path, commit, lang, content).
@@ -183,7 +210,9 @@ def source_code_table(
     df = spark.range(rows).withColumnRenamed("id", "k")
 
     def pick(salt: int, modulus) -> F.Column:
-        return F.pmod(F.xxhash64(F.col("k"), F.lit(seed), F.lit(salt)), F.lit(modulus))
+        return F.pmod(
+            seeded_hash(hash_fn, F.col("k"), F.lit(seed), F.lit(salt)), F.lit(modulus)
+        )
 
     lang = F.element_at(F.array(*[F.lit(x) for x in LANGS]), (pick(1, len(LANGS)) + 1).cast("int"))
     module = F.element_at(F.array(*[F.lit(x) for x in MODULES]), (pick(2, len(MODULES)) + 1).cast("int"))
@@ -209,11 +238,16 @@ def source_code_table(
     )
 
 
-def candidate_dict(spark: SparkSession, rows: int) -> DataFrame:
+def candidate_dict(spark: SparkSession, rows: int, hash_fn: str = "xx") -> DataFrame:
     """Entity-linking dictionary (FIXTURES.md §8): one canonical entity per
     function surface form, seeded popularity prior. Small & broadcastable."""
+    h = (
+        F.xxhash64("id")
+        if hash_fn == "xx"
+        else seeded_hash(hash_fn, F.col("id"), F.lit("prior"))
+    )
     return spark.range(rows).select(
         F.concat(F.lit("f"), F.col("id").cast("string"), F.lit("_fn")).alias("surface"),
         F.col("id").alias("entity_id"),
-        (F.pmod(F.xxhash64("id"), F.lit(1000)) / 1000.0).alias("prior"),
+        (F.pmod(h, F.lit(1000)) / 1000.0).alias("prior"),
     )

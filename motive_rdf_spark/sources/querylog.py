@@ -43,11 +43,19 @@ def extract_bgps(queries: DataFrame, query_col: str = "query") -> DataFrame:
     ).filter(F.length("bgp") > 0)
 
 
-def synthesize_query_log(spark: SparkSession, rows: int, seed: int = 42) -> DataFrame:
+def synthesize_query_log(
+    spark: SparkSession, rows: int, seed: int = 42, hash_fn: str = "xx"
+) -> DataFrame:
     """Deterministic fake query log (url-encoded SPARQL-ish lines) for
-    tests/benchmarks — no external data."""
+    tests/benchmarks — no external data. ``hash_fn="md5"`` makes the
+    pattern-count distribution reconstructible by the DuckDB oracle
+    (data/generators.seeded_hash)."""
+    from motive_rdf_spark.data.generators import seeded_hash
+
     k = F.col("id").cast("string")
-    npat = (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int")
+    npat = (
+        F.pmod(seeded_hash(hash_fn, F.col("id"), F.lit(seed)), F.lit(3)) + 1
+    ).cast("int")
     # patterns like "?s <p0> ?o . ?o <p1> ?x"
     body = F.concat_ws(
         " . ",
