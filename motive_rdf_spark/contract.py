@@ -718,14 +718,18 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"))
 
 
-@q("minhash_dedup", None)
+@q("minhash_dedup", _orc.minhash_dedup_sql())
 def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs with exact-Jaccard verification
-    (xxhash64 family — not reproducible in ANSI SQL → rows-only;
-    value-correctness pinned by tests/test_trainops.py)."""
+    """MinHash+LSH near-dup pairs with exact-Jaccard verification.
+    Portable md5 hash family, so the DuckDB oracle recomputes the full
+    pipeline (signatures → bands → candidates → verify) independently;
+    recall/value agreement is additionally pinned by
+    tests/test_trainops.py."""
     from motive_rdf_spark.operators.dedup import minhash_dedup_pairs
 
-    return minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5, hash_fn="md5"
+    )
 
 
 _COSINE_TOPK_SQL = """
@@ -775,16 +779,18 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.3)
 
 
-@q("lsh_ann", None)
+@q("lsh_ann", _orc.lsh_ann_sql(dim=64))
 def lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (bucketed candidate scoring — the
-    scale path). xxhash64-seeded planes → rows-only check; recall and
-    sim-agreement pinned by tests/test_trainops.py."""
+    scale path). Portable md5-seeded planes: the DuckDB oracle
+    regenerates the plane matrix, buckets, and per-query top-k
+    independently; recall vs brute force is additionally pinned by
+    tests/test_trainops.py."""
     from motive_rdf_spark.operators.similarity import lsh_ann_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    return lsh_ann_topk(emb, emb, dim=dim, k=5)
+    return lsh_ann_topk(emb, emb, dim=dim, k=5, hash_fn="md5")
 
 
 @q("ivf_ann", _COSINE_TOPK_SQL)
@@ -802,13 +808,17 @@ def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_ann_topk(emb, emb, k=5, num_clusters=8, nprobe=8, seed=7)
 
 
-@q("multimodal_features", None)
+@q("multimodal_features", _orc.multimodal_sql(200))
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-media feature extraction plumbing (mapInPandas batches;
-    deterministic fake decoder — see operators/multimodal.py)."""
+    """Binary-media feature extraction over REAL payloads: well-formed
+    PPM/WAV bytes decoded by the pure-Python codecs
+    (operators/multimodal.py) inside mapInPandas batches. The oracle
+    computes the expected decoded means by integer arithmetic from the
+    payload generation rule — fully independent of the decoders."""
     from motive_rdf_spark.operators.multimodal import extract_features, synthesize_media
 
-    return extract_features(synthesize_media(spark, 200), decode="fake").select(
+    media = synthesize_media(spark, 200, codec="real")
+    return extract_features(media, decode="real").select(
         "media_id", "modality", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
     )
 

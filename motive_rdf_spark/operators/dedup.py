@@ -104,15 +104,25 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    shingles: DataFrame, num_hashes: int = 32, id_col: str = "doc_id", seed: int = 42
+    shingles: DataFrame,
+    num_hashes: int = 32,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Per-doc minhash signature: DataFrame[id_col, sig array<long>].
-    Hash family h_i(x) = xxhash64(x, seed+i); one groupBy computes all
-    mins (partial-aggregatable — skew-safe)."""
-    mins = [
-        F.min(F.xxhash64("shingle", F.lit(seed + i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    Hash family h_i(x) = hash(seed+i, x); one groupBy computes all
+    mins (partial-aggregatable — skew-safe). ``hash_fn="md5"`` uses the
+    engine-portable family (data/generators.seeded_hash) so the DuckDB
+    oracle reproduces signatures exactly (oracles.minhash_dedup_sql)."""
+    from motive_rdf_spark.data.generators import seeded_hash
+
+    def h(i: int) -> F.Column:
+        if hash_fn == "xx":
+            return F.xxhash64("shingle", F.lit(seed + i))
+        return seeded_hash(hash_fn, F.lit(seed + i), F.col("shingle"))
+
+    mins = [F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
     agg = shingles.groupBy(id_col).agg(*mins)
     return agg.select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -120,33 +130,41 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, id_col: str = "doc_id"
+    signatures: DataFrame,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Band the signature into ``bands`` buckets; docs sharing any band
-    bucket become a candidate pair. DataFrame[a, b] (a < b, distinct)."""
-    # band i = hash of the slice sig[i*r : (i+1)*r]
+    bucket become a candidate pair. DataFrame[a, b] (a < b, distinct).
+
+    Bucket key: xxhash64 of the band's signature slice (``"xx"``), or
+    the raw comma-joined slice string (``"md5"`` portable mode — the
+    oracle joins on the same string; at scale the hashed key is what
+    you want, the string key only serves cross-engine verification)."""
+    # band i = key of the slice sig[i*r : (i+1)*r]
     sig_len_expr = F.size("sig")
+
+    def band_key(i) -> F.Column:
+        joined = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(
+                    "sig",
+                    (i * (sig_len_expr / bands).cast("int")) + 1,
+                    (sig_len_expr / bands).cast("int"),
+                ),
+                lambda x: x.cast("string"),
+            ),
+        )
+        return F.xxhash64(joined) if hash_fn == "xx" else joined
+
     banded = signatures.select(
         id_col,
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda i: F.struct(
-                    i.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    "sig",
-                                    (i * (sig_len_expr / bands).cast("int")) + 1,
-                                    (sig_len_expr / bands).cast("int"),
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                ),
+                lambda i: F.struct(i.alias("band"), band_key(i).alias("bucket")),
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
@@ -169,12 +187,13 @@ def minhash_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: int = 42,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Full MinHash-LSH dedup: shingle → minhash → band-bucket join →
     verify candidates with exact Jaccard. Returns [a, b, jaccard]."""
     sh = word_ngrams(docs, n, id_col, text_col)
-    sig = minhash_signatures(sh, num_hashes, id_col, seed)
-    cand = lsh_candidate_pairs(sig, bands, id_col)
+    sig = minhash_signatures(sh, num_hashes, id_col, seed, hash_fn)
+    cand = lsh_candidate_pairs(sig, bands, id_col, hash_fn)
     # exact verification only on candidates (semi-join reduction)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a"), "shingle")

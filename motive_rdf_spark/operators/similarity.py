@@ -78,13 +78,20 @@ def cosine_topk(
     )
 
 
-def _hyperplane(plane: int, dim: int, seed: int) -> Column:
+def _hyperplane(plane: int, dim: int, seed: int, hash_fn: str = "xx") -> Column:
     """Deterministic pseudo-random hyperplane as an array<double> column:
-    component j = (xxhash64(seed, plane, j) % 2001 - 1000) / 1000."""
+    component j = (hash(seed, plane, j) % 2001 - 1000) / 1000.
+    ``hash_fn="md5"`` uses the engine-portable hash so the DuckDB oracle
+    regenerates the identical plane matrix (oracles.lsh_ann_sql)."""
+    from motive_rdf_spark.data.generators import seeded_hash
+
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: (
-            F.pmod(F.xxhash64(F.lit(seed), F.lit(plane), j), F.lit(2001)) - 1000
+            F.pmod(
+                seeded_hash(hash_fn, F.lit(seed), F.lit(plane), j), F.lit(2001)
+            )
+            - 1000
         )
         / 1000.0,
     )
@@ -96,13 +103,16 @@ def lsh_sketch(
     num_planes: int = 8,
     seed: int = 42,
     vec_col: str = "embedding",
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Add a ``bucket`` column: the sign-bit signature of the vector
     against ``num_planes`` deterministic hyperplanes."""
     v = F.col(vec_col).cast("array<double>")
     bucket = None
     for p in range(num_planes):
-        bit = F.when(_dot(v, _hyperplane(p, dim, seed)) >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        bit = F.when(
+            _dot(v, _hyperplane(p, dim, seed, hash_fn)) >= 0, F.lit(2**p)
+        ).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return emb.withColumn("bucket", bucket.cast("long"))
 
@@ -277,6 +287,7 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: int = 0,
+    hash_fn: str = "xx",
 ) -> DataFrame:
     """Approximate top-k: score only same-bucket candidates.
     Returns [query_id, neighbor_id, sim(4dp), rank].
@@ -287,8 +298,12 @@ def lsh_ann_topk(
     (num_planes+1)x more candidate pairs — still a vanishing fraction
     of the corpus.
     """
-    q = lsh_sketch(with_unit_vectors(queries, vec_col), dim, num_planes, seed, "_unit")
-    c = lsh_sketch(with_unit_vectors(corpus, vec_col), dim, num_planes, seed, "_unit")
+    q = lsh_sketch(
+        with_unit_vectors(queries, vec_col), dim, num_planes, seed, "_unit", hash_fn
+    )
+    c = lsh_sketch(
+        with_unit_vectors(corpus, vec_col), dim, num_planes, seed, "_unit", hash_fn
+    )
     qs = q.select(F.col(id_col).alias("query_id"), F.col("_unit").alias("_qv"), "bucket")
     if multi_probe:
         probes = F.array(

@@ -167,6 +167,146 @@ FROM generate_series(0, {rows - 1}) t(id)
 GROUP BY 1"""
 
 
+def minhash_dedup_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    threshold: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """Full MinHash-LSH pipeline re-computed in SQL: word-3-gram
+    shingles → per-doc min of every portable hash → banded bucket
+    strings → candidate pairs → exact-Jaccard verification at the same
+    (rounded) threshold. Mirrors minhash_dedup_pairs(hash_fn="md5")
+    term by term but shares no code with it."""
+    r = num_hashes // bands
+    mins = ",\n    ".join(
+        f"MIN({hash_sql(str(seed + i), 'shingle')}) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {hs}) AS bucket FROM sigs".format(
+            b=b, hs=", ".join(f"h{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return rf"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(text, '\s+') AS w FROM {table}
+), idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+  FROM words WHERE len(w) >= 3
+), grams AS (
+  SELECT DISTINCT doc_id,
+         concat_ws(' ', w[CAST(i AS INT)], w[CAST(i+1 AS INT)], w[CAST(i+2 AS INT)]) AS shingle
+  FROM idx
+), sigs AS (
+  SELECT doc_id,
+    {mins}
+  FROM grams GROUP BY doc_id
+), banded AS (
+  {band_rows}
+), cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM banded l JOIN banded r USING (band, bucket)
+  WHERE l.doc_id < r.doc_id
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+), common AS (
+  SELECT c.a, c.b, COUNT(*) AS cmn
+  FROM cand c
+  JOIN grams g1 ON g1.doc_id = c.a
+  JOIN grams g2 ON g2.doc_id = c.b AND g2.shingle = g1.shingle
+  GROUP BY c.a, c.b
+)
+SELECT a, b, ROUND(cmn * 1.0 / (sa.sz + sb.sz - cmn), 4) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE ROUND(cmn * 1.0 / (sa.sz + sb.sz - cmn), 4) >= {threshold}"""
+
+
+def lsh_ann_sql(
+    dim: int,
+    k: int = 5,
+    num_planes: int = 8,
+    seed: int = 42,
+    table: str = "embeddings",
+) -> str:
+    """Random-hyperplane LSH ANN re-computed in SQL: unit vectors,
+    portable plane matrix regenerated from md5, sign-bit buckets,
+    same-bucket scoring, per-query top-k. Mirrors
+    lsh_ann_topk(hash_fn="md5", multi_probe=0)."""
+    plane = (
+        f"((({hash_sql(str(seed), 'p', 'j')}) % 2001) - 1000) / 1000.0::DOUBLE"
+    )
+    return f"""
+WITH n0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+), n1 AS (
+  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM n0
+), u AS (
+  SELECT vec_id, CASE WHEN nrm > 0 THEN list_transform(v, x -> x/nrm) ELSE v END AS e
+  FROM n1
+), planes AS (
+  SELECT p, list_transform(generate_series(0, {dim - 1}), j -> {plane}) AS w
+  FROM generate_series(0, {num_planes - 1}) t(p)
+), bkt AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM (SELECT u.vec_id, pl.p, list_dot_product(u.e, pl.w) AS d FROM u, planes pl)
+  GROUP BY vec_id
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qu.e, cu.e), 4) AS sim
+  FROM bkt q
+  JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  JOIN u qu ON qu.vec_id = q.vec_id
+  JOIN u cu ON cu.vec_id = c.vec_id
+)
+SELECT query_id, neighbor_id, sim, rank FROM (
+  SELECT query_id, neighbor_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {k}"""
+
+
+def multimodal_sql(rows: int) -> str:
+    """Expected decoded features for ``synthesize_media(codec="real")``:
+    pixel/sample values follow closed-form integer rules, so the mean
+    (feature[0]) and byte size are computed here by integer arithmetic —
+    entirely independent of the PPM/WAV codecs under test.
+
+    PPM payload: 13-byte header ('P6\\n16 12\\n255\\n') + 16*12*3 raw
+    bytes with pixel i = (31*i + media_id) mod 256. WAV payload: 44-byte
+    RIFF/fmt/data header + 500 PCM16 samples with sample i =
+    ((37*i + 11*media_id) mod 65536) - 32768."""
+    from motive_rdf_spark.operators.multimodal import (
+        PPM_H,
+        PPM_W,
+        WAV_SAMPLES,
+    )
+
+    n_px = PPM_W * PPM_H * 3
+    ppm_bytes = len(f"P6\n{PPM_W} {PPM_H}\n255\n") + n_px
+    wav_bytes = 44 + 2 * WAV_SAMPLES
+    return f"""
+WITH m AS (SELECT k AS media_id FROM generate_series(0, {rows - 1}) t(k)),
+img AS (
+  SELECT media_id, 'image' AS modality, {ppm_bytes} AS n_bytes,
+         (list_sum(list_transform(generate_series(0, {n_px - 1}),
+                                  i -> CAST((i * 31 + media_id) % 256 AS DOUBLE)))
+          / {n_px}) / 255.0::DOUBLE AS f0
+  FROM m WHERE media_id % 2 = 0
+), aud AS (
+  SELECT media_id, 'audio' AS modality, {wav_bytes} AS n_bytes,
+         (list_sum(list_transform(generate_series(0, {WAV_SAMPLES - 1}),
+                                  i -> CAST(((i * 37 + media_id * 11) % 65536) - 32768 AS DOUBLE)))
+          / {WAV_SAMPLES}) / 32768.0::DOUBLE AS f0
+  FROM m WHERE media_id % 2 = 1
+)
+SELECT media_id, modality, CAST(n_bytes AS BIGINT) AS n_bytes, ROUND(f0, 6) AS f0
+FROM (SELECT * FROM img UNION ALL SELECT * FROM aud)"""
+
+
 def planted_support_sql(
     n: int, m: int, r: int, k: int, seed: int
 ) -> str:

@@ -220,3 +220,70 @@ def test_cosine_near_dup_lsh_subset_and_clone_recall(spark):
     for r in emb.select("vec_id").collect():
         assert (r["vec_id"], r["vec_id"] + 10000) in approx
     corpus.unpersist()
+
+
+def test_ppm_wav_codecs_roundtrip():
+    """The real codecs decode well-formed payloads exactly (pure-Python
+    parse, no media libs) and reject malformed ones."""
+    import numpy as np
+
+    from motive_rdf_spark.operators.multimodal import (
+        PPM_H,
+        PPM_W,
+        WAV_RATE,
+        WAV_SAMPLES,
+        _make_ppm,
+        _make_wav,
+        decode_ppm,
+        decode_wav,
+    )
+
+    px = decode_ppm(_make_ppm(4))
+    assert px.shape == (PPM_H, PPM_W, 3)
+    n = PPM_W * PPM_H * 3
+    expect = ((np.arange(n) * 31 + 4) % 256).reshape(PPM_H, PPM_W, 3)
+    assert (px == expect).all()
+    # comments in the header are skipped per the netpbm spec
+    with_comment = b"P6\n# a comment\n2 1\n255\n" + bytes(range(6))
+    assert decode_ppm(with_comment).shape == (1, 2, 3)
+
+    s, rate = decode_wav(_make_wav(7))
+    assert rate == WAV_RATE and len(s) == WAV_SAMPLES
+    exp = ((np.arange(WAV_SAMPLES) * 37 + 7 * 11) % 65536) - 32768
+    assert (s.astype(np.int64) == exp).all()
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 1\n255\n" + bytes(6))
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+
+
+def test_multimodal_real_features_match_closed_form(spark):
+    """decode="real" over synthesized PPM/WAV payloads reproduces the
+    closed-form means the independent oracle computes (contract
+    multimodal_features)."""
+    from motive_rdf_spark.operators.multimodal import PPM_H, PPM_W, WAV_SAMPLES
+
+    media = synthesize_media(spark, 8, codec="real")
+    rows = {r["media_id"]: r for r in extract_features(media, decode="real").collect()}
+    assert len(rows) == 8
+    n = PPM_W * PPM_H * 3
+    for mid, r in rows.items():
+        if mid % 2 == 0:
+            assert r["modality"] == "image"
+            exp = sum((i * 31 + mid) % 256 for i in range(n)) / n / 255.0
+        else:
+            assert r["modality"] == "audio"
+            exp = (
+                sum(((i * 37 + mid * 11) % 65536) - 32768 for i in range(WAV_SAMPLES))
+                / WAV_SAMPLES
+                / 32768.0
+            )
+        assert abs(r["feature"][0] - exp) < 1e-12, (mid, r["feature"][0], exp)
+
+
+def test_multimodal_video_still_stub_in_real_mode(spark):
+    media = synthesize_media(spark, 9).filter(F.col("modality") == "video")
+    assert media.count() > 0
+    with pytest.raises(Exception, match="NotImplementedError|no codec for modality"):
+        extract_features(media, decode="real").collect()
