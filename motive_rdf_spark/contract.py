@@ -764,7 +764,7 @@ WITH u AS (
 SELECT a.vec_id AS a, b.vec_id AS b,
        ROUND(list_cosine_similarity(a.e, b.e), 4) AS sim
 FROM u a JOIN u b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= 0.3
 """
 
 
@@ -833,6 +833,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming watermarked window agg, drained with
     Trigger.AvailableNow into a memory sink — the streamed result must
     equal the plain-SQL batch oracle (streaming/incremental.py)."""
+    import shutil
     import tempfile
     import uuid
 
@@ -844,7 +845,13 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"swc_{uuid.uuid4().hex[:8]}"
     agg = windowed_event_counts(stream_events(spark, sf_dir))
-    run_available_now(agg, tempfile.mkdtemp(prefix="swc_ckpt_"), name)
+    ckpt = tempfile.mkdtemp(prefix="swc_ckpt_")
+    try:
+        run_available_now(agg, ckpt, name)
+    finally:
+        # the memory sink holds the results; the drained checkpoint is
+        # scratch (ADVICE r2: don't accumulate /tmp dirs per run)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 
 

@@ -86,11 +86,69 @@ def prune_values_df(
             .select(F.struct("s", "p", "o").alias("__t"))
             .distinct()
         )
-        claimed = (
-            new_claim if claimed is None else claimed.unionAll(new_claim).distinct()
-        )
-        claimed = claimed.localCheckpoint(eager=True)
+        if claimed is None:
+            claimed = new_claim.localCheckpoint(eager=True)
+        else:
+            # append only the genuinely new claims (anti-join) instead of
+            # re-distincting the whole monotonically growing set each
+            # pattern (VERDICT r2 item 8): the accumulated set stays a
+            # union of disjoint checkpointed parts — globally distinct by
+            # construction, one narrow union, no O(P) wide passes
+            fresh = new_claim.join(claimed, "__t", "left_anti").localCheckpoint(
+                eager=True
+            )
+            claimed = claimed.unionAll(fresh)
     return kept_dfs
+
+
+def batch_find(
+    src, patterns: list[Pattern], max_matches: int
+) -> tuple[list[DataFrame], list[int], DataFrame]:
+    """ONE unioned match job for a set of patterns — the SURVEY §2.10
+    mapping for the reference's generation-at-a-time evaluation
+    (GAMulti.java:203-299): each pattern's bounded match output is
+    normalized to (motif_id, vals array<long>), unioned, persisted and
+    materialized in a single job whose ``groupBy(__motif)`` aggregate
+    ALSO yields every pattern's support count — no per-pattern
+    ``count()`` jobs at all. Per-pattern DataFrames (with their v1..vk
+    columns restored) are cheap filters over the cached union.
+
+    Returns (per_pattern_dfs, per_pattern_counts, union_handle); the
+    caller unpersists the handle when scoring is done. Requires every
+    pattern to have variables (callers guarantee this — Utils.valid
+    analog)."""
+    from motive_rdf_spark.patterns import var_col
+
+    parts = []
+    for i, pat in enumerate(patterns):
+        cols = [var_col(v) for v in pat.variables]
+        m = find(src, pat).limit(max_matches)
+        parts.append(
+            m.select(
+                F.lit(i).alias("__motif"),
+                F.array(*cols).cast("array<long>").alias("__vals"),
+            )
+        )
+    union = parts[0]
+    for q in parts[1:]:
+        union = union.unionAll(q)
+    union = union.persist()
+    # the one job that evaluates every member's matcher; populates the
+    # cache and returns all support counts as a byproduct
+    by_motif = {
+        r["__motif"]: r["n"]
+        for r in union.groupBy("__motif").agg(F.count("*").alias("n")).collect()
+    }
+    counts = [int(by_motif.get(i, 0)) for i in range(len(patterns))]
+    outs = []
+    for i, pat in enumerate(patterns):
+        k = len(pat.variables)
+        outs.append(
+            union.filter(F.col("__motif") == i).select(
+                *[F.col("__vals")[j].alias(f"v{j + 1}") for j in range(k)]
+            )
+        )
+    return outs, counts, union
 
 
 def score_motif_set(
@@ -98,6 +156,9 @@ def score_motif_set(
     patterns: list[Pattern],
     max_matches: int = 100_000,
     driver_prune_threshold: int = 50_000,
+    matches_by_key: dict[tuple, DataFrame] | None = None,
+    counts_by_key: dict[tuple, int] | None = None,
+    batch_members: bool = True,
 ) -> MotifSetScore:
     """Joint codelength of a motif set vs the graph.
 
@@ -111,6 +172,13 @@ def score_motif_set(
 
     ``triples`` may be a ``bgp.GraphStore`` — match jobs then reuse the
     pre-partitioned copies; degree aggregations read the plain graph.
+
+    Match evaluation is batched: with ``batch_members`` (default) every
+    member pattern's matcher runs in ONE unioned Spark job
+    (``batch_find``) instead of one job per member. Pass
+    ``matches_by_key`` (canonical key → bounded match DF) to reuse
+    matches batched at a wider scope — e.g. a whole GA generation
+    (GAMulti.batch scoring); the caller owns that cache's lifetime.
     """
     from motive_rdf_spark.operators.bgp import GraphStore
 
@@ -121,11 +189,21 @@ def score_motif_set(
     patterns = sort_patterns(patterns)
     n, m, r = deg.graph_dims(triples)
 
-    bounded = [
-        find(store if store is not None else triples, pat).limit(max_matches).persist()
-        for pat in patterns
-    ]
-    counts = [b.count() for b in bounded]
+    src = store if store is not None else triples
+    handle: DataFrame | None = None
+    own_persist = False
+    counts: list[int] | None = None
+    if matches_by_key is not None:
+        bounded = [matches_by_key[canonical_key(pat)] for pat in patterns]
+        if counts_by_key is not None:
+            counts = [counts_by_key[canonical_key(pat)] for pat in patterns]
+    elif batch_members and len(patterns) > 1 and all(p.variables for p in patterns):
+        bounded, counts, handle = batch_find(src, patterns, max_matches)
+    else:
+        bounded = [find(src, pat).limit(max_matches).persist() for pat in patterns]
+        own_persist = True
+    if counts is None:
+        counts = [b.count() for b in bounded]
 
     if sum(counts) <= driver_prune_threshold:
         matches_per = []
@@ -145,8 +223,11 @@ def score_motif_set(
     else:
         kept_dfs = prune_values_df(patterns, bounded)
         freqs_per = [k.count() for k in kept_dfs]
-    for b in bounded:
-        b.unpersist()
+    if own_persist:
+        for b in bounded:
+            b.unpersist()
+    if handle is not None:
+        handle.unpersist()  # kept_dfs are checkpointed/collected by now
 
     # one template term: degrees minus ALL kept instances' triples
     # (union of per-(instance, edge) rows — multiplicity preserved,

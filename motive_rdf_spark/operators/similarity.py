@@ -157,11 +157,16 @@ def cosine_near_dup_pairs(
             .filter(F.col("a") < F.col("b"))
             .dropDuplicates(["a", "b"])
         )
-    sim = _dot(F.col("_av"), F.col("_bv"))
+    # threshold the 4dp-ROUNDED similarity (same as the emitted value)
+    # so the keep/drop decision is reproducible by any oracle computing
+    # the rounded value — a pair within float noise of the threshold
+    # would otherwise be included by one engine and excluded by the
+    # other (ADVICE r2)
+    sim = F.round(_dot(F.col("_av"), F.col("_bv")), 4)
     return (
-        pairs.withColumn("_sim", sim)
-        .filter(F.col("_sim") >= threshold)
-        .select("a", "b", F.round("_sim", 4).alias("sim"))
+        pairs.withColumn("sim", sim)
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
     )
 
 

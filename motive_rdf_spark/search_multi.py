@@ -155,6 +155,10 @@ class GAConfig:
     max_matches: int = 100_000
     driver_prune_threshold: int = 50_000
     seed: int | None = None
+    # batch-score each generation: every uncached member pattern's
+    # matcher runs in ONE unioned Spark job (SURVEY §2.10's mapping for
+    # GAMulti.java:203-299), instead of one job per pattern per member
+    batch_generations: bool = True
 
 
 class GAMulti:
@@ -208,7 +212,52 @@ class GAMulti:
                 break
         return child
 
+    def _score_generation(self) -> None:
+        """Fill the score cache for every uncached member set with ONE
+        unioned match job across the generation's distinct patterns
+        (motifset.batch_find). Members share patterns heavily after
+        crossover, so canonical-key dedup makes the union far smaller
+        than members × patterns."""
+        from motive_rdf_spark.canon import canonical_form
+        from motive_rdf_spark.operators.motifset import batch_find
+
+        uncached = [m for m in self.population if set_key(m) not in self.score_cache]
+        # batch over canonical FORMS: isomorphic member patterns share a
+        # key but their v1..vk columns differ by a variable permutation,
+        # so the shared match DF must correspond to one fixed labeling
+        # (scores are labeling-invariant; the sets scored below are the
+        # members' canonical forms)
+        distinct: dict[tuple, Pattern] = {}
+        for mset in uncached:
+            for p in mset:
+                if p.variables:
+                    distinct.setdefault(canonical_key(p), canonical_form(p))
+        if not distinct:
+            return
+        keys = list(distinct)
+        dfs, counts, handle = batch_find(
+            self._src, [distinct[k] for k in keys], self.cfg.max_matches
+        )
+        provider = dict(zip(keys, dfs))
+        count_provider = dict(zip(keys, counts))
+        try:
+            for mset in uncached:
+                if any(canonical_key(p) not in provider for p in mset):
+                    continue  # scored individually by _score below
+                self.score_cache[set_key(mset)] = score_motif_set(
+                    self._src,
+                    [canonical_form(p) for p in mset],
+                    self.cfg.max_matches,
+                    driver_prune_threshold=self.cfg.driver_prune_threshold,
+                    matches_by_key=provider,
+                    counts_by_key=count_provider,
+                ).total
+        finally:
+            handle.unpersist()
+
     def iterate(self) -> None:
+        if self.cfg.batch_generations:
+            self._score_generation()
         scored = sorted(self.population, key=self._score)
         survivors = scored[: max(2, len(scored) // 2)]
         children = []

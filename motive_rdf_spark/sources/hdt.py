@@ -249,18 +249,40 @@ def parse_hdt(path: str) -> HdtGraph:
     )
 
 
-def read_hdt(spark, path: str):
+def read_hdt(spark, path: str, chunk_rows: int = 2_000_000):
     """HDT file -> DataFrame[subj, pred, obj] (string terms, one row per
     triple). Terms are the raw HDT dictionary strings (IRIs without
     angle brackets, literals with quotes) — the same surface the
-    reference's loadHDT iterates (KGraph.java:1240-1280)."""
+    reference's loadHDT iterates (KGraph.java:1240-1280).
+
+    The explicit schema makes zero-triple files well-defined (no
+    pandas schema inference), and the driver-side pandas conversion is
+    chunked so peak memory is bounded by ``chunk_rows`` rather than the
+    file's triple count. The parse itself is driver-side by design
+    (HDT is a single compressed binary — the reference loads it on one
+    node too); graphs beyond driver memory should be converted once to
+    Parquet and read distributed."""
     import pandas as pd
 
+    schema = "subj string, pred string, obj string"
     g = parse_hdt(path)
-    pdf = pd.DataFrame(
-        {"subj": g.term_s(), "pred": g.term_p(), "obj": g.term_o()}
-    )
-    return spark.createDataFrame(pdf)
+    s, p, o = g.term_s(), g.term_p(), g.term_o()
+    n = len(o)
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    parts = [
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"subj": s[i : i + chunk_rows], "pred": p[i : i + chunk_rows], "obj": o[i : i + chunk_rows]}
+            ),
+            schema,
+        )
+        for i in range(0, n, chunk_rows)
+    ]
+    out = parts[0]
+    for q in parts[1:]:
+        out = out.unionAll(q)
+    return out
 
 
 def encode_hdt_graph(spark, path: str):

@@ -101,3 +101,43 @@ def test_entropy_sorted_column_order(spark):
     assert out.columns == ["v2", "v1"]
     rows = [tuple(r) for r in out.collect()]
     assert rows == sorted(rows)
+
+
+def test_batched_scoring_equals_sequential_and_cuts_jobs(spark):
+    """batch_members=True (one unioned match job) must score a motif
+    set identically to the per-pattern path, with fewer Spark jobs per
+    evaluation (SURVEY §2.10: generation-at-a-time GAMulti mapping)."""
+    g = planted_graph(spark, n=200, m=600, r=5, pattern_edges=TRIANGLE, k=40, seed=3).persist()
+    g.count()
+    pats = [Pattern(TRIANGLE), Pattern([(-1, 4, -2)]), Pattern([(-1, 0, -2), (-2, 1, -3)])]
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    sc.setJobGroup("seq", "sequential scoring")
+    seq = score_motif_set(g, pats, batch_members=False)
+    sc.setJobGroup("bat", "batched scoring")
+    bat = score_motif_set(g, pats, batch_members=True)
+    sc.setJobGroup("done", "")
+    n_seq = len(tracker.getJobIdsForGroup("seq"))
+    n_bat = len(tracker.getJobIdsForGroup("bat"))
+
+    assert bat.total == seq.total
+    assert bat.per_pattern_freq == seq.per_pattern_freq
+    assert n_bat < n_seq, (n_bat, n_seq)
+    g.unpersist()
+
+
+def test_ga_batch_generations_equals_sequential(spark):
+    """GAMulti with generation-level batch scoring reaches the same
+    best set/score as the per-member path under the same seed (batching
+    only changes job granularity, never values or rng consumption)."""
+    g = hub_graph(spark, 60).persist()
+    g.count()
+    cfgs = [
+        GAConfig(population=6, generations=2, seed=11, batch_generations=b)
+        for b in (False, True)
+    ]
+    (best_a, score_a), (best_b, score_b) = (GAMulti(g, c).run() for c in cfgs)
+    assert score_a == score_b
+    assert [str(p) for p in best_a] == [str(p) for p in best_b]
+    g.unpersist()
