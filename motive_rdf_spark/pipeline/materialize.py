@@ -61,13 +61,49 @@ def _write(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list
     w.parquet(path)
 
 
-def processed_snapshots(spark: SparkSession, out_dir: str) -> set[str]:
+class ParquetStorage:
+    """Default physical backend: the module-doc layout, one parquet
+    directory per logical table under ``out_dir``. The pipeline only
+    talks to this interface (write / read / load_dict / write_dict);
+    `sources/iceberg.IcebergStorage` implements the same surface over
+    an Iceberg catalog, where atomic snapshot commits subsume both the
+    dynamic-partition-overwrite idempotence and the hand-rolled
+    ``_SUCCESS``-marker dictionary versioning below."""
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.out_dir = out_dir
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        _write(df, f"{self.out_dir}/{table}", mode, partition_by)
+
+    def read(self, table: str) -> DataFrame | None:
+        return _load_optional(self.spark, f"{self.out_dir}/{table}")
+
+    def load_dict(self, table: str) -> DataFrame | None:
+        return load_dict(self.spark, f"{self.out_dir}/{table}")
+
+    def write_dict(self, df: DataFrame, table: str) -> None:
+        _write_dict(df, f"{self.out_dir}/{table}")
+
+
+def _storage(spark: SparkSession, out_dir: str, storage) -> ParquetStorage:
+    return storage if storage is not None else ParquetStorage(spark, out_dir)
+
+
+def processed_snapshots(spark: SparkSession, out_dir: str, storage=None) -> set[str]:
     """The checkpoint: snapshots with a committed ledger row."""
+    ledger = _storage(spark, out_dir, storage).read("ledger")
+    if ledger is None:
+        return set()
     try:
-        return {
-            r["snapshot"]
-            for r in spark.read.parquet(f"{out_dir}/ledger").select("snapshot").distinct().collect()
-        }
+        return {r["snapshot"] for r in ledger.select("snapshot").distinct().collect()}
     except Exception:
         return set()
 
@@ -168,8 +204,15 @@ def run_snapshot(
     candidates: DataFrame | None,
     out_dir: str,
     snapshot: str,
+    storage=None,
 ) -> SnapshotReport:
-    """Process one snapshot end-to-end and commit it to the ledger."""
+    """Process one snapshot end-to-end and commit it to the ledger.
+
+    ``storage`` selects the physical backend (default
+    ``ParquetStorage(out_dir)``; pass an ``IcebergStorage`` for
+    catalog-backed tables — identical logical behavior, test-pinned in
+    tests/test_iceberg.py)."""
+    st = _storage(spark, out_dir, storage)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     rep = SnapshotReport(snapshot)
     src = source.filter(F.col("commit") == snapshot).persist()
@@ -185,17 +228,17 @@ def run_snapshot(
     # localCheckpoint cuts the plan's file-source lineage so the new
     # dict version can be committed below while the DF stays usable
     node_dict = extend_dict(
-        load_dict(spark, f"{out_dir}/node_dict"),
+        st.load_dict("node_dict"),
         strs.select(F.col("subj").alias("term")).unionAll(strs.select(F.col("obj").alias("term"))),
     ).localCheckpoint(eager=True)
     pred_dict = extend_dict(
-        load_dict(spark, f"{out_dir}/pred_dict"),
+        st.load_dict("pred_dict"),
         strs.select(F.col("pred").alias("term")),
     ).localCheckpoint(eager=True)
     # versioned commit: a crash here leaves the previous version intact
     # (dict growth is idempotent on re-run)
-    _write_dict(node_dict, f"{out_dir}/node_dict")
-    _write_dict(pred_dict, f"{out_dir}/pred_dict")
+    st.write_dict(node_dict, "node_dict")
+    st.write_dict(pred_dict, "pred_dict")
     rep.stages["encode_dict"] = round(time.time() - t0, 3)
 
     t0 = time.time()
@@ -218,10 +261,10 @@ def run_snapshot(
     else:
         final = enc.select("s", "p", "o")
     final = final.dropDuplicates().withColumn("snapshot", F.lit(snapshot))
-    _write(final, f"{out_dir}/triples", partition_by=["snapshot"])
-    rep.n_triples = spark.read.parquet(f"{out_dir}/triples").filter(
-        F.col("snapshot") == snapshot
-    ).count()
+    st.write(final, "triples", partition_by=["snapshot"])
+    rep.n_triples = (
+        st.read("triples").filter(F.col("snapshot") == snapshot).count()
+    )
     rep.stages["canonicalize_write"] = round(time.time() - t0, 3)
 
     # --- lineage: per (snapshot, repo) counts + content checksum ------
@@ -237,7 +280,7 @@ def run_snapshot(
         )
         .withColumn("snapshot", F.lit(snapshot))
     )
-    _write(lineage, f"{out_dir}/lineage", partition_by=["snapshot"])
+    st.write(lineage, "lineage", partition_by=["snapshot"])
 
     # --- metrics ------------------------------------------------------
     metrics_rows = [
@@ -246,14 +289,14 @@ def run_snapshot(
     metrics = spark.createDataFrame(
         metrics_rows, "snapshot string, stage string, seconds double, rows long"
     )
-    _write(metrics, f"{out_dir}/metrics", partition_by=["snapshot"])
+    st.write(metrics, "metrics", partition_by=["snapshot"])
 
     # --- ledger commit (the checkpoint) -------------------------------
     ledger = spark.createDataFrame(
         [(snapshot, rep.n_files, rep.n_triples, time.time())],
         "snapshot string, n_files long, n_triples long, committed_at double",
     )
-    _write(ledger, f"{out_dir}/ledger", mode="append")
+    st.write(ledger, "ledger", mode="append")
 
     src.unpersist(), strs.unpersist(), enc.unpersist()
     return rep
@@ -266,6 +309,7 @@ def run_pipeline(
     out_dir: str,
     snapshots: list[str] | None = None,
     force: bool = False,
+    storage=None,
 ) -> list[SnapshotReport]:
     """Process every unprocessed snapshot, in deterministic (sorted)
     order. Re-invocation after a crash resumes where the ledger left
@@ -274,13 +318,15 @@ def run_pipeline(
         snapshots = sorted(
             r["commit"] for r in source.select("commit").distinct().collect()
         )
-    done = set() if force else processed_snapshots(spark, out_dir)
+    done = set() if force else processed_snapshots(spark, out_dir, storage)
     reports = []
     for snap in snapshots:
         if snap in done:
             reports.append(SnapshotReport(snap, skipped=True))
             continue
-        reports.append(run_snapshot(spark, source, candidates, out_dir, snap))
+        reports.append(
+            run_snapshot(spark, source, candidates, out_dir, snap, storage=storage)
+        )
     return reports
 
 
