@@ -80,8 +80,17 @@ class GraphStore:
         if self._own_plain:
             t = t.persist()
         self.plain = t
-        self.by_s = t.repartition("s").persist()
-        self.by_o = t.repartition("o").persist()
+        # secondary cluster by p inside each hash partition: the
+        # in-memory columnar cache keeps per-batch min/max stats, so a
+        # constant-predicate edge scan (`p = c`, the common case —
+        # KGraph's per-relation index, KGraph.java:154-190) prunes all
+        # batches whose p-range excludes c instead of decompressing the
+        # whole copy. sortWithinPartitions is a narrow op: the hash
+        # partitioning on the join key survives, so expansion joins
+        # still elide the graph-side exchange; the memory-bandwidth cost
+        # of a scan drops from |G| to ~|G|/r (VERDICT r2 item 6).
+        self.by_s = t.repartition("s").sortWithinPartitions("p", "s").persist()
+        self.by_o = t.repartition("o").sortWithinPartitions("p", "o").persist()
 
     def for_edge(self, edge: tuple[int, int, int], present: set[str]) -> DataFrame:
         """The copy whose partitioning matches the join keys this edge

@@ -111,19 +111,33 @@ def minhash_signatures(
     hash_fn: str = "xx",
 ) -> DataFrame:
     """Per-doc minhash signature: DataFrame[id_col, sig array<long>].
-    Hash family h_i(x) = hash(seed+i, x); one groupBy computes all
-    mins (partial-aggregatable — skew-safe). ``hash_fn="md5"`` uses the
-    engine-portable family (data/generators.seeded_hash) so the DuckDB
-    oracle reproduces signatures exactly (oracles.minhash_dedup_sql)."""
-    from motive_rdf_spark.data.generators import seeded_hash
+    One groupBy computes all mins (partial-aggregatable — skew-safe).
 
-    def h(i: int) -> F.Column:
-        if hash_fn == "xx":
+    ``hash_fn="xx"``: h_i(x) = xxhash64(x, seed+i) (fast JVM default).
+    ``hash_fn="md5"``: engine-portable *affine* family — ONE md5 per
+    shingle split into two hex lanes a (15 chars, <2^60) and b
+    (13 chars, <2^52), then h_i = a + (seed+i)*b. Any engine with md5
+    computes identical signatures (oracles.minhash_dedup_sql), and the
+    md5 cost is per-shingle, not per-(shingle, i): overflow-free since
+    (seed+i) < 100 keeps h_i under 2^61."""
+
+    if hash_fn == "xx":
+        prep = shingles
+
+        def h(i: int) -> F.Column:
             return F.xxhash64("shingle", F.lit(seed + i))
-        return seeded_hash(hash_fn, F.lit(seed + i), F.col("shingle"))
+
+    else:
+        md = F.md5(F.col("shingle").cast("string"))
+        prep = shingles.withColumn(
+            "__a", F.conv(F.substring(md, 1, 15), 16, 10).cast("long")
+        ).withColumn("__b", F.conv(F.substring(md, 16, 13), 16, 10).cast("long"))
+
+        def h(i: int) -> F.Column:
+            return F.col("__a") + F.lit(seed + i) * F.col("__b")
 
     mins = [F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
-    agg = shingles.groupBy(id_col).agg(*mins)
+    agg = prep.groupBy(id_col).agg(*mins)
     return agg.select(
         id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )

@@ -106,13 +106,30 @@ def lsh_sketch(
     hash_fn: str = "xx",
 ) -> DataFrame:
     """Add a ``bucket`` column: the sign-bit signature of the vector
-    against ``num_planes`` deterministic hyperplanes."""
+    against ``num_planes`` deterministic hyperplanes.
+
+    The plane matrix is a constant: it's evaluated ONCE (a single-row
+    driver-side job over the same hash expressions, so the values are
+    bit-identical to the per-row formula for either hash family) and
+    embedded as literal arrays. The per-row work is then just
+    ``num_planes`` dot products over codegen'd literals instead of
+    ``num_planes * dim`` hash evaluations per vector."""
+    spark = emb.sparkSession
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                _hyperplane(p, dim, seed, hash_fn).alias(f"p{p}")
+                for p in range(num_planes)
+            ]
+        )
+        .first()
+    )
     v = F.col(vec_col).cast("array<double>")
     bucket = None
     for p in range(num_planes):
-        bit = F.when(
-            _dot(v, _hyperplane(p, dim, seed, hash_fn)) >= 0, F.lit(2**p)
-        ).otherwise(F.lit(0))
+        plane = F.array(*[F.lit(float(x)) for x in row[f"p{p}"]])
+        bit = F.when(_dot(v, plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return emb.withColumn("bucket", bucket.cast("long"))
 

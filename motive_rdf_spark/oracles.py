@@ -180,9 +180,12 @@ def minhash_dedup_sql(
     (rounded) threshold. Mirrors minhash_dedup_pairs(hash_fn="md5")
     term by term but shares no code with it."""
     r = num_hashes // bands
+    # affine portable family (dedup.minhash_signatures md5 mode): one
+    # md5 per shingle, lanes a/b, h_i = a + (seed+i)*b
+    a = "(('0x' || substring(md5(shingle), 1, 15))::BIGINT)"
+    b = "(('0x' || substring(md5(shingle), 16, 13))::BIGINT)"
     mins = ",\n    ".join(
-        f"MIN({hash_sql(str(seed + i), 'shingle')}) AS h{i}"
-        for i in range(num_hashes)
+        f"MIN({a} + {seed + i} * {b}) AS h{i}" for i in range(num_hashes)
     )
     band_rows = "\n  UNION ALL ".join(
         "SELECT doc_id, {b} AS band, concat_ws(',', {hs}) AS bucket FROM sigs".format(
