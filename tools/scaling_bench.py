@@ -36,10 +36,18 @@ def measure(cpus: int, rows: int, workload: str) -> dict:
 
     from motive_rdf_spark.session import get_spark
 
+    # ad-hoc conf overrides for scaling experiments, e.g.
+    # SPARK_GRAFT_EXTRA_CONF="spark.sql.adaptive.coalescePartitions.enabled=false"
+    extra = dict(
+        kv.split("=", 1)
+        for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(",")
+        if "=" in kv
+    )
     spark = get_spark(
         app_name=f"scaling-{workload}-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=str(cpus * 2),
+        extra_conf=extra or None,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -110,6 +118,48 @@ def measure(cpus: int, rows: int, workload: str) -> dict:
         n = n * 3
         unit = "matches"
         assert n >= 9_000_000, n
+    elif workload in ("bgp_scan", "bgp_join"):
+        # component probes for the bgp workload's scaling residue
+        # (VERDICT r2 item 6): same 69M-triple graph and GraphStore as
+        # `bgp`, but the timed job is a single component —
+        #   bgp_scan: full pass over one cached copy (decompress every
+        #             in-memory columnar batch + predicate filter; no
+        #             join, no shuffle) = the memory-bandwidth floor;
+        #   bgp_join: exactly one expansion join (edge1 x edge2 on the
+        #             shared variable, count) = one co-partitioned SHJ.
+        # If the scan probe scales like the full matcher, the residue
+        # is cache-scan bandwidth (hardware), not the join pipeline.
+        from motive_rdf_spark.data.generators import planted_graph
+        from motive_rdf_spark.operators.bgp import (
+            GraphStore,
+            _edge_scan,
+            prepare_triples,
+        )
+
+        pat_edges = [(-1, 0, -2), (-1, 1, -3), (-2, 2, -3)]
+        g = planted_graph(
+            spark, n=12_000_000, m=60_000_000, r=20, pattern_edges=pat_edges, k=3_000_000
+        )
+        store = GraphStore(prepare_triples(g))
+        store.by_s.count(), store.by_o.count()
+        if workload == "bgp_scan":
+            job = lambda: store.by_s.filter(  # noqa: E731
+                (F.col("s") % 7 == 0) & (F.col("o") % 3 == 0)
+            ).count()
+        else:
+            e1 = _edge_scan(store.by_s, pat_edges[0], 0)
+            e2 = _edge_scan(store.by_s, pat_edges[1], 1)
+            job = lambda: e1.join(e2, on="v1").count()  # noqa: E731
+        n = job()  # warm
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            for _ in range(3):
+                n = job()
+            sec_i = time.time() - t0
+            best = sec_i if best is None else min(best, sec_i)
+        sec = best
+        n, unit = 69_000_000 * 3, "scanned_triples"
     elif workload == "jvm_ceiling":
         # hardware/JVM calibration: embarrassingly parallel CPU-bound
         # native expression (sha2 over a range), no shuffle, no Python.
