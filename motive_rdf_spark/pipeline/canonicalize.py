@@ -79,6 +79,11 @@ def connected_components(
         jump = new_labels.select(
             F.col("node").alias("jnode"), F.col("component").alias("jcomp")
         )
+        # the convergence flag rides along in the SAME materialization
+        # job (one broadcast-sized join against the previous labels)
+        # instead of a separate per-iteration comparison job; checking
+        # it afterwards is a filter over the checkpointed result
+        old = labels.select(F.col("node").alias("onode"), F.col("component").alias("ocomp"))
         new_labels = (
             new_labels.join(jump, new_labels["component"] == jump["jnode"], "left")
             .select(
@@ -87,16 +92,16 @@ def connected_components(
                     "component"
                 ),
             )
+            .join(old, F.col("node") == F.col("onode"))
+            .select(
+                "node",
+                "component",
+                (F.col("component") != F.col("ocomp")).alias("_chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
