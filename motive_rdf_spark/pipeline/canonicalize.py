@@ -64,11 +64,27 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+
+    # convergence by monotonicity: every operation below is a min, so a
+    # node's label never increases and the node set is fixed — any
+    # change strictly decreases sum(component). Comparing the sum
+    # across rounds costs one partial-aggregatable scan of the
+    # checkpointed labels (no join against the previous round's labels,
+    # which was a full extra shuffle per iteration). decimal(38,0)
+    # keeps the sum exact out to ~1e12 nodes x 1e12 ids.
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
-        # propagate: each edge (a,b) offers label(a) to b
-        offers = sym.join(labels, sym["a"] == labels["node"]).select(
-            F.col("b").alias("node"), F.col("component")
-        )
+        # propagate: each edge (a,b) offers label(a) to b. The labels
+        # side is hinted shuffle-hash: at real scale it is far past any
+        # broadcast threshold anyway, and at bench scale letting AQE
+        # broadcast a ~1M-row label table costs a driver-serial
+        # broadcast build per round — a fixed term that caps scaling
+        offers = sym.join(
+            labels.hint("shuffle_hash"), sym["a"] == labels["node"]
+        ).select(F.col("b").alias("node"), F.col("component"))
         cand = offers.unionAll(labels.select("node", "component"))
         new_labels = _salted_min(cand, "node", "component", salt_buckets)
         # pointer jumping (path halving): component(v) := component(
@@ -78,13 +94,8 @@ def connected_components(
         # giving O(log diameter) total.
         jump = new_labels.select(
             F.col("node").alias("jnode"), F.col("component").alias("jcomp")
-        )
-        # the convergence flag rides along in the SAME materialization
-        # job (one broadcast-sized join against the previous labels)
-        # instead of a separate per-iteration comparison job; checking
-        # it afterwards is a filter over the checkpointed result
-        old = labels.select(F.col("node").alias("onode"), F.col("component").alias("ocomp"))
-        new_labels = (
+        ).hint("shuffle_hash")
+        labels = (
             new_labels.join(jump, new_labels["component"] == jump["jnode"], "left")
             .select(
                 "node",
@@ -92,18 +103,12 @@ def connected_components(
                     "component"
                 ),
             )
-            .join(old, F.col("node") == F.col("onode"))
-            .select(
-                "node",
-                "component",
-                (F.col("component") != F.col("ocomp")).alias("_chg"),
-            )
             .localCheckpoint(eager=True)
         )
-        changed = new_labels.filter(F.col("_chg")).limit(1).count()
-        labels = new_labels.select("node", "component")
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             return labels
+        prev_sum = new_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

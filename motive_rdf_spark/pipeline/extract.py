@@ -54,24 +54,27 @@ _RX_IMPORT = re.compile(r"(?:^|\n)\s*import\s+([\w.]+)")
 _RX_CALL = re.compile(r"(?<!def )(?<!func )\b(\w+)\s*\(")
 
 
-def _extract_one(content: str) -> list[dict]:
-    out: list[dict] = []
+def _extract_one(content: str) -> list[tuple]:
+    # (subj, pred, obj) tuples, positional per MENTION_SCHEMA — pyarrow
+    # builds struct arrays from tuples without the per-fact dict
+    # allocation (~6% of extraction CPU at 12M facts)
+    out: list[tuple] = []
     classes = _RX_CLASS.findall(content)
     funcs = _RX_FUNC.findall(content)
     defined = set(funcs)
     for c in classes:
-        out.append({"subj": FILE, "pred": "defines_class", "obj": c})
+        out.append((FILE, "defines_class", c))
     for fn in funcs:
-        out.append({"subj": FILE, "pred": "defines_function", "obj": fn})
+        out.append((FILE, "defines_function", fn))
         # member_of: function defined while a class is open in this file
         if classes:
-            out.append({"subj": fn, "pred": "member_of", "obj": classes[0]})
+            out.append((fn, "member_of", classes[0]))
     for m in _RX_IMPORT.findall(content):
-        out.append({"subj": FILE, "pred": "imports", "obj": m})
+        out.append((FILE, "imports", m))
     caller = funcs[0] if funcs else FILE
     for callee in _RX_CALL.findall(content):
         if callee not in defined:
-            out.append({"subj": caller, "pred": "calls", "obj": callee})
+            out.append((caller, "calls", callee))
     return out
 
 

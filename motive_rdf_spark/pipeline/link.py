@@ -85,32 +85,50 @@ def link_mentions(
     """
     m = mentions.select("mention").distinct()
     cand = F.broadcast(candidates)
-    # best-per-mention even on the exact tier: if two dictionary entries
-    # share a surface, emitting both would hand connected-components a
-    # spurious merge of distinct entities (ADVICE r1) — keep the highest
-    # (prior, entity_id) candidate, mirroring the fuzzy tier's rule
-    exact = (
-        m.join(cand, m["mention"] == cand[surface_col])
+    # ONE left broadcast join carries both tiers' bookkeeping: hits get
+    # their candidate rows, a mention with no hit gets a single
+    # null-candidate row. Best-per-mention even on the exact tier: if
+    # two dictionary entries share a surface, emitting both would hand
+    # connected-components a spurious merge of distinct entities
+    # (ADVICE r1) — keep the highest (prior, entity_id) candidate,
+    # mirroring the fuzzy tier's rule. Misses keep a null score so the
+    # residual tier can read them from the SAME materialization — the
+    # previous shape (inner join + left_anti probe + final plan)
+    # executed the exact join up to three times and let AQE broadcast
+    # the 1M-row hit set for the anti join, a driver-serial build that
+    # dominated the construct stage at high parallelism.
+    best = (
+        m.join(cand, m["mention"] == cand[surface_col], "left")
         .select(
             "mention",
             "entity_id",
-            (F.lit(1.0) + 0.001 * F.coalesce(F.col("prior"), F.lit(0.0))).alias("score"),
+            F.when(
+                F.col("entity_id").isNotNull(),
+                F.lit(1.0) + 0.001 * F.coalesce(F.col("prior"), F.lit(0.0)),
+            ).alias("score"),
         )
         .groupBy("mention")
         .agg(F.max(F.struct("score", F.col("entity_id"))).alias("b"))
         .select("mention", F.col("b.entity_id").alias("entity_id"), F.col("b.score").alias("score"))
     )
+    # null scores (misses) never clear min_score, so the exact tier is
+    # one filter away — no second join
     if not fuzzy:
-        return exact.filter(F.col("score") >= min_score)
+        return best.filter(F.col("score") >= min_score)
 
-    rest = m.join(exact.select("mention"), "mention", "left_anti")
     # closed-vocabulary fast path: when every mention hits exactly (the
     # common case for code-entity linking against a complete symbol
     # dictionary), skip the fuzzy residual plan entirely — it would
     # broadcast a 3x-replicated candidate table and build per-mention
-    # block structs for zero rows. One cheap probe job buys it.
+    # block structs for zero rows. The probe materializes `best` into
+    # the cache, so the caller's downstream consumption reuses it
+    # instead of re-running the join (cleaned up by the ContextCleaner
+    # when the result goes out of scope).
+    best = best.persist()
+    rest = best.filter(F.col("entity_id").isNull()).select("mention")
     if rest.isEmpty():
-        return exact.filter(F.col("score") >= min_score)
+        return best.filter(F.col("score") >= min_score)
+    exact = best.filter(F.col("entity_id").isNotNull())
     blk_m = F.struct(
         F.substring("mention", 1, 4).alias("pfx"),
         (F.length("mention") / 4).cast("int").alias("lb"),
@@ -129,9 +147,9 @@ def link_mentions(
         "entity_id",
         link_score(F.col("mention"), F.col(surface_col), F.col("prior")).alias("score"),
     )
-    best = (
+    fuzzy_best = (
         scored.groupBy("mention")
         .agg(F.max(F.struct("score", F.col("entity_id"))).alias("b"))
         .select("mention", F.col("b.entity_id").alias("entity_id"), F.col("b.score").alias("score"))
     )
-    return exact.unionByName(best).filter(F.col("score") >= min_score)
+    return exact.unionByName(fuzzy_best).filter(F.col("score") >= min_score)

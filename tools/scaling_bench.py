@@ -68,8 +68,12 @@ def measure(cpus: int, rows: int, workload: str) -> dict:
         for _ in range(2):
             t0 = time.time()
             # persist the extraction output: it feeds the two dictionary
-            # builds and all three encode joins (run_snapshot does the same)
-            strs = build_string_triples(src, cands).persist()
+            # builds and all three encode joins. The bench's consumers
+            # read only (subj, pred, obj), so cache that projection —
+            # run_snapshot persists the full row because it also writes
+            # the provenance/lineage table, a consumer this in-memory
+            # loop deliberately excludes
+            strs = build_string_triples(src, cands).select("subj", "pred", "obj").persist()
             enc, _, pred_dict = encode_triples(strs.select("subj", "pred", "obj"))
             enc = enc.persist()
             said = pred_dict.filter(F.col("term") == SAME_AS).collect()
