@@ -80,6 +80,7 @@ class GraphStore:
         if self._own_plain:
             t = t.persist()
         self.plain = t
+        self._n: int | None = None
         # secondary cluster by p inside each hash partition: the
         # in-memory columnar cache keeps per-batch min/max stats, so a
         # constant-predicate edge scan (`p = c`, the common case —
@@ -106,11 +107,30 @@ class GraphStore:
             return self.by_o
         return self.plain
 
+    @property
+    def n_triples(self) -> int:
+        """Graph size, counted once (and cached) off the persisted
+        plain copy — drives the expansion joins' strategy choice."""
+        if self._n is None:
+            self._n = self.plain.count()
+        return self._n
+
     def unpersist(self) -> None:
         self.by_s.unpersist()
         self.by_o.unpersist()
         if self._own_plain:
             self.plain.unpersist()
+
+
+#: expansion joins hint shuffle_hash only past this graph size. Below
+#: it the per-edge scans sit in (or near) the broadcast regime and the
+#: un-hinted plan lets AQE pick broadcast from runtime sizes (a
+#: strategy hint would suppress that conversion); above it the scans
+#: are too big to broadcast but each build map is a bounded slice of a
+#: cache-resident copy (~n/shuffle_partitions * 32 B), so the
+#: sort-free shuffled-hash join is safe and measures ~23% faster than
+#: sort-merge on the 69M-triple matcher workload.
+SHJ_HINT_MIN_TRIPLES = 4_000_000
 
 
 def _edge_scan(triples: DataFrame, edge: tuple[int, int, int], idx: int) -> DataFrame:
@@ -211,6 +231,12 @@ def find(
     order = _order_edges(pattern, base, probe)
     node_var_cols = [var_col(v) for v in pattern.node_vars]
 
+    # size-aware join strategy (see SHJ_HINT_MIN_TRIPLES): hint the
+    # graph-scan side shuffle_hash on large graphs so the build is the
+    # bounded scan slice and the (potentially exploding) embedding
+    # side streams — never the other way round
+    shj = store is not None and store.n_triples >= SHJ_HINT_MIN_TRIPLES
+
     emb: DataFrame | None = None
     present: set[str] = set()
     injected: set[frozenset[str]] = set()
@@ -224,7 +250,7 @@ def find(
         else:
             shared = [c for c in evars if c in present]
             if shared:
-                emb = emb.join(scan, on=shared, how="inner")
+                emb = emb.join(scan.hint("shuffle_hash") if shj else scan, on=shared, how="inner")
             else:
                 emb = emb.crossJoin(scan)
         present.update(evars)
@@ -343,6 +369,9 @@ def find_budgeted(
     order = _order_edges(pattern, base, probe)
     node_var_cols = [var_col(v) for v in pattern.node_vars]
 
+    # same size-aware strategy as find(), keeping the two plan-equal
+    shj = store is not None and store.n_triples >= SHJ_HINT_MIN_TRIPLES
+
     emb: DataFrame | None = None
     present: set[str] = set()
     injected: set[frozenset[str]] = set()
@@ -356,7 +385,10 @@ def find_budgeted(
             emb = scan
         else:
             shared = [c for c in evars if c in present]
-            emb = emb.join(scan, on=shared, how="inner") if shared else emb.crossJoin(scan)
+            if shared:
+                emb = emb.join(scan.hint("shuffle_hash") if shj else scan, on=shared, how="inner")
+            else:
+                emb = emb.crossJoin(scan)
         present.update(evars)
         for i, a in enumerate(node_var_cols):
             for b in node_var_cols[i + 1 :]:

@@ -4,7 +4,9 @@ candidate dictionary and emit ``same_as`` links.
 north_star: "entity-link scoring against a broadcast candidate
 dictionary" — the dictionary is small relative to the corpus (entity
 vocabularies are ~1e6-1e8 rows vs 1e12 files), so the join is a
-broadcast hash join: zero shuffle of the mention table.
+broadcast hash join: zero shuffle of the mention table. Past
+``BROADCAST_DICT_MAX_ROWS`` the join degrades gracefully to a
+spillable shuffle join instead of forcing a multi-GB broadcast.
 
 Scoring is a vectorized pandas UDF (Arrow-batched): a deterministic
 string-affinity score in [0,1] between the mention surface form and
@@ -59,12 +61,21 @@ def _lcp(x: str, y: str) -> int:
     return i
 
 
+#: dictionaries at or below this row count are force-broadcast (~64 MB
+#: of HashedRelation at typical surface+id+prior widths — the session's
+#: autoBroadcastJoinThreshold); bigger dictionaries shuffle-join so the
+#: build never outgrows executor memory and the driver never serializes
+#: a multi-GB relation per query.
+BROADCAST_DICT_MAX_ROWS = 1_500_000
+
+
 def link_mentions(
     mentions: DataFrame,
     candidates: DataFrame,
     min_score: float = 0.999,
     surface_col: str = "surface",
     fuzzy: bool = True,
+    broadcast_dict: bool | None = None,
 ) -> DataFrame:
     """Link distinct mention surfaces to their best candidate.
 
@@ -74,8 +85,18 @@ def link_mentions(
 
     Two tiers, sized for skewed real corpora:
 
-    1. **exact surface hit** — broadcast hash join on the full surface
-       string; the overwhelmingly common case, zero Python, linear.
+    1. **exact surface hit** — hash join on the full surface string;
+       the overwhelmingly common case, zero Python, linear. The
+       dictionary side is broadcast when it is dimension-sized
+       (north_star's "broadcast candidate dictionary", zero shuffle of
+       the mention table) but falls back to a spillable shuffle join
+       past ``BROADCAST_DICT_MAX_ROWS``: a forced broadcast of a
+       ~1e7-row dictionary is a driver-serial, non-spillable build
+       that is identical work at every cluster size — it both caps
+       scaling and OOMs exactly when the corpus is big enough to
+       matter. ``broadcast_dict=None`` decides with one count() on the
+       (cheap, dimension-sized) dictionary; pass True/False to skip
+       the probe when the caller already knows.
     2. **fuzzy residual** — only mentions with NO exact hit are blocked
        (first 4 chars + length bucket — a coarse-prefix block like
        "first 2 chars" degenerates quadratically when every mention
@@ -84,7 +105,9 @@ def link_mentions(
        via max-struct aggregation (partial-aggregatable, skew-safe).
     """
     m = mentions.select("mention").distinct()
-    cand = F.broadcast(candidates)
+    if broadcast_dict is None:
+        broadcast_dict = candidates.count() <= BROADCAST_DICT_MAX_ROWS
+    cand = F.broadcast(candidates) if broadcast_dict else candidates
     # ONE left broadcast join carries both tiers' bookkeeping: hits get
     # their candidate rows, a mention with no hit gets a single
     # null-candidate row. Best-per-mention even on the exact tier: if
@@ -141,7 +164,9 @@ def link_mentions(
     cand_rep = cand_rep.withColumn(
         "_blk", F.struct(F.substring(surface_col, 1, 4).alias("pfx"), F.col("_lb").alias("lb"))
     )
-    block = rest.withColumn("_blk", blk_m).join(F.broadcast(cand_rep), "_blk")
+    if broadcast_dict:
+        cand_rep = F.broadcast(cand_rep)
+    block = rest.withColumn("_blk", blk_m).join(cand_rep, "_blk")
     scored = block.select(
         "mention",
         "entity_id",

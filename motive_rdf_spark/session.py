@@ -52,11 +52,17 @@ def get_spark(
         # Runtime Bloom-filter joins = semijoin reduction of candidate
         # domains (reference Find.Candidates, Find.java:157-216) for free.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        # Prefer shuffled hash join over sort-merge: BGP expansion is
-        # equi-joins on long keys over unsorted data — skipping the sort
-        # measures ~23% faster on the 69M-triple matcher workload; AQE
-        # still falls back per-partition when a build side is too large.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Join strategy: Spark's default (sort-merge preferred) stays —
+        # SMJ is the only big×big strategy that SPILLS. A global
+        # preferSortMergeJoin=false was measured ~23% faster on the
+        # 69M-triple matcher workload, but a shuffled-hash build cannot
+        # spill: at 72M pipeline triples in an 8 GB heap the encode
+        # join's SHJ build dies with SparkOutOfMemoryError while the
+        # same plan under SMJ completes. The matcher keeps its SHJ win
+        # via size-aware shuffle_hash hints on the expansion joins
+        # (operators/bgp.find), where the build side is a bounded,
+        # cache-resident graph scan; AQE still converts any small side
+        # to broadcast at runtime.
         # Arrow for pandas UDFs (input_hint: vectorized, no per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -26,6 +26,8 @@ import subprocess
 import sys
 import time
 
+import pandas as pd
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DOGFOOD = "/root/reference/src/main/resources/data/swdf-2012-11-28.nt.gz"
 
@@ -164,6 +166,53 @@ def measure(cpus: int, rows: int, workload: str) -> dict:
             best = sec_i if best is None else min(best, sec_i)
         sec = best
         n, unit = 69_000_000 * 3, "scanned_triples"
+    elif workload == "python_ceiling":
+        # Arrow-UDF calibration: the extraction front's hardware
+        # ceiling. One pandas UDF (regex findall per row, the same
+        # shape as pipeline/extract's mention scan) over generated
+        # strings — no shuffle, no join, no driver logic. Each Spark
+        # core runs a JVM task thread PLUS an Arrow python worker, so
+        # local[16] keeps 32 processes busy on the 32-hw-thread VM:
+        # this row measures what that saturation costs, independent of
+        # any engine logic, and extraction-front efficiency is read
+        # against it (like jvm_ceiling for native stages).
+        import re
+
+        from pyspark.sql.functions import pandas_udf
+
+        # long enough a window that per-job fixed cost (~0.4 s) is
+        # noise at 16 cores; override upward with --rows
+        nrows = max(rows, 8_000_000)
+        df = (
+            spark.range(0, nrows, 1, cpus * 2)
+            .select(
+                F.concat(
+                    F.lit("import os\nfrom a import b\ndef f_"),
+                    F.col("id"),
+                    F.lit("(x):\n    return g(x) + h(x)\nclass C_"),
+                    F.pmod(F.col("id"), F.lit(97)),
+                    F.lit(":\n    pass\n"),
+                ).alias("content")
+            )
+            .persist()
+        )
+        df.count()
+        rx = re.compile(r"(?<!def )\b(\w+)\s*\(")
+
+        @pandas_udf("int")
+        def n_calls(s: pd.Series) -> pd.Series:
+            return s.map(lambda c: len(rx.findall(c)))
+
+        job = lambda: df.select(F.sum(n_calls("content"))).collect()  # noqa: E731
+        job()  # warm python workers + codegen
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            job()
+            sec_i = time.time() - t0
+            best = sec_i if best is None else min(best, sec_i)
+        sec = best
+        unit, n = "rows", nrows
     elif workload == "jvm_ceiling":
         # hardware/JVM calibration: embarrassingly parallel CPU-bound
         # native expression (sha2 over a range), no shuffle, no Python.
