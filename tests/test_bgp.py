@@ -268,3 +268,33 @@ def test_find_budgeted_cap_saturation_reports_partial(spark):
     assert 0 < len(got) <= 10
     assert got <= rows_set(find(g, pat))
     g.unpersist()
+
+
+def test_shj_hint_only_past_size_threshold(spark):
+    """Expansion joins hint shuffle_hash only on large graphs: below
+    SHJ_HINT_MIN_TRIPLES the plan is left to AQE/broadcast; at or above
+    it the graph-scan side is the hinted (bounded) build side. Results
+    must be identical either way."""
+    from motive_rdf_spark.operators.bgp import (
+        SHJ_HINT_MIN_TRIPLES,
+        GraphStore,
+        prepare_triples,
+    )
+
+    g = prepare_triples(chain_graph(spark, 300)).persist()
+    g.count()
+    store = GraphStore(g)
+    store.by_s.count(), store.by_o.count()
+    pat = Pattern([(-1, 0, 0), (-1, 2, -2), (-2, 1, 1)])
+
+    small_plan = find(store, pat)._jdf.queryExecution().sparkPlan().toString()
+    assert "ShuffledHashJoin" not in small_plan
+
+    store._n = SHJ_HINT_MIN_TRIPLES  # force the large-graph strategy
+    big = find(store, pat)
+    big_plan = big._jdf.queryExecution().sparkPlan().toString()
+    assert "ShuffledHashJoin" in big_plan
+    assert rows_set(big) == rows_set(find(g, pat))
+
+    store.unpersist()
+    g.unpersist()

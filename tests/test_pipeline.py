@@ -221,3 +221,23 @@ def test_pipeline_resume_idempotent(spark, pipeline_out):
     run_pipeline(spark, src, cands, out, snapshots=[snap], force=True)
     again = sorted(map(tuple, load_graph(spark, out).collect()))
     assert before == again
+
+
+def test_linking_shuffle_join_equals_broadcast(spark):
+    """Past BROADCAST_DICT_MAX_ROWS the dictionary join degrades to a
+    spillable shuffle join; both code paths must produce identical
+    links on both tiers (exact + fuzzy)."""
+    cands = spark.createDataFrame(
+        [("f123_fn", 123, 0.5), ("f124_fn", 124, 0.9), ("zzz_other", 9, 0.1)],
+        "surface string, entity_id long, prior double",
+    )
+    mentions = spark.createDataFrame(
+        [("f123_fn",), ("f123_fnX",), ("qqqq",)], "mention string"
+    )
+    rows = lambda bd: sorted(  # noqa: E731
+        (r["mention"], r["entity_id"], round(r["score"], 6))
+        for r in link_mentions(
+            mentions, cands, min_score=0.8, broadcast_dict=bd
+        ).collect()
+    )
+    assert rows(True) == rows(False)
