@@ -70,6 +70,25 @@ def dense_ids(df: DataFrame, col: str, id_col: str = "id", num_partitions: int |
     )
 
 
+#: node-dictionary joins broadcast the dictionary below this many terms
+#: (same size-aware pattern as link.BROADCAST_DICT_MAX_ROWS): at bench
+#: scale (~1M terms, tens of MB) broadcasting halves the encode joins'
+#: cost by keeping the triple set un-shuffled; past the cap — any real
+#: 100 TB dictionary — the shuffle join is the only spill-safe plan.
+BROADCAST_NODE_DICT_MAX_TERMS = 1_500_000
+
+
+def _dict_fits_broadcast(node_dict: DataFrame) -> bool:
+    """Whether the node dictionary is small enough to broadcast. The
+    count is one cheap job over an already-materialized (checkpointed
+    or storage-backed) dictionary — trivial next to the two triple-set
+    shuffles it can save."""
+    try:
+        return node_dict.count() <= BROADCAST_NODE_DICT_MAX_TERMS
+    except Exception:
+        return False
+
+
 def encode_triples(
     mention_triples: DataFrame,
     node_dict: DataFrame | None = None,
@@ -102,13 +121,18 @@ def encode_triples(
             jobs["pred"] = pool.submit(
                 dense_ids, mention_triples.select(F.col("pred").alias("term")), "term"
             )
+    # materialize freshly built dictionaries once: the id-assignment
+    # window otherwise re-runs for every consumer (the subj join, the
+    # obj join, and the size probe below)
     if "node" in jobs:
-        node_dict = jobs["node"].result()
+        node_dict = jobs["node"].result().localCheckpoint(eager=True)
     if "pred" in jobs:
-        pred_dict = jobs["pred"].result()
+        pred_dict = jobs["pred"].result().localCheckpoint(eager=True)
 
     bs = node_dict.select(F.col("term").alias("subj"), F.col("id").alias("s"))
     bo = node_dict.select(F.col("term").alias("obj"), F.col("id").alias("o"))
+    if _dict_fits_broadcast(node_dict):
+        bs, bo = F.broadcast(bs), F.broadcast(bo)
     bp = F.broadcast(pred_dict.select(F.col("term").alias("pred"), F.col("id").alias("p")))
     extra = [c for c in mention_triples.columns if c not in ("subj", "pred", "obj")]
     enc = (
@@ -125,6 +149,8 @@ def decode_triples(triples: DataFrame, node_dict: DataFrame, pred_dict: DataFram
     KGraph.java:1490-1509) — three joins, predicate side broadcast."""
     ds = node_dict.select(F.col("id").alias("s"), F.col("term").alias("subj"))
     do = node_dict.select(F.col("id").alias("o"), F.col("term").alias("obj"))
+    if _dict_fits_broadcast(node_dict):
+        ds, do = F.broadcast(ds), F.broadcast(do)
     dp = F.broadcast(pred_dict.select(F.col("id").alias("p"), F.col("term").alias("pred")))
     return (
         triples.join(ds, "s").join(dp, "p").join(do, "o").select("subj", "pred", "obj")
