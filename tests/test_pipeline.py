@@ -241,3 +241,35 @@ def test_linking_shuffle_join_equals_broadcast(spark):
         ).collect()
     )
     assert rows(True) == rows(False)
+
+
+def test_encode_broadcast_equals_shuffle(spark, monkeypatch):
+    """The node-dictionary joins in encode/decode broadcast below
+    BROADCAST_NODE_DICT_MAX_TERMS and shuffle-join above it; both
+    strategies must yield identical encodings, and the broadcast must
+    actually reach the physical plan when the dictionary fits."""
+    from motive_rdf_spark.pipeline import encode as enc_mod
+
+    triples = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "q", "c"), ("c", "p", "a"), ("a", "q", "c")],
+        "subj string, pred string, obj string",
+    )
+
+    def run():
+        e, nd, pd_ = enc_mod.encode_triples(triples)
+        dec = enc_mod.decode_triples(e.select("s", "p", "o"), nd, pd_)
+        return (
+            sorted(map(tuple, e.select("s", "p", "o").collect())),
+            sorted(map(tuple, dec.collect())),
+            e,
+        )
+
+    enc_b, dec_b, df_b = run()
+    plan_b = df_b._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan_b
+
+    monkeypatch.setattr(enc_mod, "BROADCAST_NODE_DICT_MAX_TERMS", 0)
+    enc_s, dec_s, _ = run()
+    assert enc_b == enc_s
+    assert dec_b == dec_s
+    assert sorted(dec_b) == sorted(map(tuple, triples.collect()))
