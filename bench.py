@@ -112,6 +112,10 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # stop the JVM before printing: executor threads share this stdout
+    # fd and an async warning (GC, shutdown) interleaved after the JSON
+    # would break naive last-line capture of the one-line contract
+    spark.stop()
     print(
         json.dumps(
             {
