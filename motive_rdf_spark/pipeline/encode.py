@@ -34,6 +34,16 @@ from pyspark.sql import DataFrame, Window, functions as F
 def dense_ids(df: DataFrame, col: str, id_col: str = "id", num_partitions: int | None = None) -> DataFrame:
     """Distinct values of ``col`` -> dense ids [0, n) in lexicographic
     order of the value. Output: DataFrame[col, id_col]."""
+    return dense_ids_counted(df, col, id_col, num_partitions)[0]
+
+
+def dense_ids_counted(
+    df: DataFrame, col: str, id_col: str = "id", num_partitions: int | None = None
+) -> tuple[DataFrame, int]:
+    """``dense_ids`` plus the total term count, which the id assignment
+    already knows (the per-partition size collect) — callers that need
+    the dictionary's size for a size-aware join choice get it without
+    an extra job over the un-materialized window plan."""
     d = df.select(col).distinct()
     if num_partitions:
         d = d.repartitionByRange(num_partitions, F.col(col))
@@ -52,7 +62,7 @@ def dense_ids(df: DataFrame, col: str, id_col: str = "id", num_partitions: int |
         for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
     if not sizes:  # empty dictionary batch (e.g. no new terms on resume)
-        return d.select(col).withColumn(id_col, F.lit(0).cast("long"))
+        return d.select(col).withColumn(id_col, F.lit(0).cast("long")), 0
     pairs: list = []
     acc = 0
     for pid in sorted(sizes):
@@ -61,13 +71,14 @@ def dense_ids(df: DataFrame, col: str, id_col: str = "id", num_partitions: int |
     offset = F.create_map(*pairs)
 
     w = Window.partitionBy("_pid").orderBy(col)
-    return (
+    out = (
         d.withColumn(
             id_col,
             (F.row_number().over(w) - 1 + offset[F.col("_pid")]).cast("long"),
         )
         .select(col, id_col)
     )
+    return out, acc
 
 
 #: node-dictionary joins broadcast the dictionary below this many terms
@@ -116,22 +127,32 @@ def encode_triples(
             nodes = mention_triples.select(F.col("subj").alias("term")).unionAll(
                 mention_triples.select(F.col("obj").alias("term"))
             )
-            jobs["node"] = pool.submit(dense_ids, nodes, "term")
+            jobs["node"] = pool.submit(dense_ids_counted, nodes, "term")
         if pred_dict is None:
             jobs["pred"] = pool.submit(
-                dense_ids, mention_triples.select(F.col("pred").alias("term")), "term"
+                dense_ids_counted, mention_triples.select(F.col("pred").alias("term")), "term"
             )
-    # materialize freshly built dictionaries once: the id-assignment
-    # window otherwise re-runs for every consumer (the subj join, the
-    # obj join, and the size probe below)
+    # the broadcast decision reuses the count dense_ids already made
+    # (zero extra jobs); a storage-backed dictionary pays one cheap
+    # columnar count. Freshly built SMALL dictionaries are checkpointed
+    # once so the two broadcast builds (subj, obj) don't each re-run
+    # the id-assignment window; large dictionaries skip both the
+    # checkpoint (a multi-GB materialization at real scale) and the
+    # broadcast — their shuffle joins recompute only the in-partition
+    # rank over the checkpointed distinct-terms base.
     if "node" in jobs:
-        node_dict = jobs["node"].result().localCheckpoint(eager=True)
+        node_dict, n_terms = jobs["node"].result()
+        node_bcast = n_terms <= BROADCAST_NODE_DICT_MAX_TERMS
+        if node_bcast:
+            node_dict = node_dict.localCheckpoint(eager=True)
+    else:
+        node_bcast = _dict_fits_broadcast(node_dict)
     if "pred" in jobs:
-        pred_dict = jobs["pred"].result().localCheckpoint(eager=True)
+        pred_dict = jobs["pred"].result()[0].localCheckpoint(eager=True)
 
     bs = node_dict.select(F.col("term").alias("subj"), F.col("id").alias("s"))
     bo = node_dict.select(F.col("term").alias("obj"), F.col("id").alias("o"))
-    if _dict_fits_broadcast(node_dict):
+    if node_bcast:
         bs, bo = F.broadcast(bs), F.broadcast(bo)
     bp = F.broadcast(pred_dict.select(F.col("term").alias("pred"), F.col("id").alias("p")))
     extra = [c for c in mention_triples.columns if c not in ("subj", "pred", "obj")]
