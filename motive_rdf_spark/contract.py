@@ -399,6 +399,66 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def top_token_fraction(docs: DataFrame) -> DataFrame:
+    """Boilerplate signal (Gopher-style repetition filter): the most
+    frequent token's share of the document. Scale path: explode +
+    two-level aggregation — both partial-aggregatable, keys are
+    (doc_id, token) so no single reducer sees more than one document's
+    token multiset; no per-doc quadratic array lambda."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("tok"))
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    return per_tok.groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), 4).alias("top_tok_frac")
+    )
+
+
+@q(
+    "top_token_fraction",
+    """SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE)/SUM(c), 4) AS top_tok_frac FROM (
+  SELECT doc_id, tok, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) GROUP BY doc_id, tok
+) GROUP BY doc_id""",
+)
+def top_token_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_token_fraction(_t(spark, sf_dir, "documents"))
+
+
+def dup_bigram_fraction(docs: DataFrame) -> DataFrame:
+    """Repeated word-bigram fraction (1 - distinct/total), the n-gram
+    repetition quality filter. Array lambdas only (JVM-side, no
+    explode/shuffle): the token array is materialized as a column
+    first so each higher-order function references the materialized
+    array, not a re-evaluated split (the lambda-CSE pitfall)."""
+    toks = docs.select("doc_id", F.split("text", " ", -1).alias("toks"))
+    n = F.size("toks")
+    big = F.zip_with(
+        F.slice("toks", F.lit(1), n - 1),
+        F.slice("toks", F.lit(2), n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    with_big = toks.select("doc_id", big.alias("big"))
+    total = F.size("big")
+    frac = F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct("big")).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+    return with_big.select("doc_id", F.round(frac, 4).alias("dup_bigram_frac"))
+
+
+@q(
+    "dup_bigram_fraction",
+    """SELECT doc_id,
+  ROUND(CASE WHEN len(big) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(big)) AS DOUBLE)/len(big) END, 4) AS dup_bigram_frac
+FROM (
+  SELECT doc_id, list_transform(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]),
+                                x -> x[1] || ' ' || x[2]) AS big
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""",
+)
+def dup_bigram_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_bigram_fraction(_t(spark, sf_dir, "documents"))
+
+
 @q(
     "embedding_norm",
     """SELECT vec_id, ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2

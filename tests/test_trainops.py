@@ -287,3 +287,27 @@ def test_multimodal_video_still_stub_in_real_mode(spark):
     assert media.count() > 0
     with pytest.raises(Exception, match="NotImplementedError|no codec for modality"):
         extract_features(media, decode="real").collect()
+
+
+def test_repetition_scores_edge_cases(spark):
+    """top_token_fraction / dup_bigram_fraction on degenerate docs:
+    single token (no bigrams -> 0), all-same token (frac 1.0 /
+    fully duplicate bigrams), and a doc with one repeated bigram."""
+    from motive_rdf_spark.contract import dup_bigram_fraction, top_token_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (0, "solo"),
+            (1, "a a a a"),
+            (2, "x y x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    top = {r["doc_id"]: r["top_tok_frac"] for r in top_token_fraction(docs).collect()}
+    assert top[0] == 1.0
+    assert top[1] == 1.0
+    assert top[2] == 0.4  # 'x' and 'y' twice in 5 tokens
+    dup = {r["doc_id"]: r["dup_bigram_frac"] for r in dup_bigram_fraction(docs).collect()}
+    assert dup[0] == 0.0  # no bigrams
+    assert dup[1] == round(1 - 1 / 3, 4)  # ['a a','a a','a a']
+    assert dup[2] == 0.25  # ['x y','y x','x y','y z'] -> 3 distinct of 4
