@@ -32,6 +32,8 @@ AUDITED = [
     "lsh_ann",
     "dict_encode",
     "running_user_value",
+    "top_token_fraction",
+    "dup_bigram_fraction",
 ]
 
 
