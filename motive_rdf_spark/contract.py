@@ -766,6 +766,38 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
 
 
+_DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(w) >= 5
+                     THEN list_transform(w[1:len(w)-4],
+                          (x, i) -> x || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])
+                     ELSE CAST([] AS VARCHAR[]) END) AS shingle
+  FROM toks
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0
+)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id IN (SELECT s.doc_id FROM sh s JOIN bench b USING (shingle))
+                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM documents
+"""
+
+
+@q("decontaminate", _DECONTAMINATE_SQL)
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 20th document stands in as the
+    held-out eval set; corpus docs sharing any word-5-gram with it are
+    flagged. Broadcast semi-join on the benchmark shingle set — the
+    corpus side never shuffles."""
+    from motive_rdf_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(docs, docs.filter(F.col("doc_id") % 20 == 0), n=5)
+
+
 from motive_rdf_spark.operators.dedup import simhash_sql as _simhash_sql
 
 

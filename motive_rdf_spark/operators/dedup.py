@@ -68,6 +68,46 @@ def word_ngrams(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: s
 # ---------------------------------------------------------------------------
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document sharing at
+    least one word ``n``-gram with any benchmark document. Returns
+    DataFrame[id_col, contaminated(long 0/1)] — one row per corpus doc.
+
+    Scale path: the benchmark's distinct shingle set is tiny next to a
+    100 TB corpus (eval suites are MBs), so it broadcasts and the
+    corpus-side shingles stream through a left-semi broadcast join —
+    no corpus shuffle at all. Set ``broadcast_benchmark=False`` for an
+    unusually large benchmark; the semi join then shuffles on the
+    shingle key (inverted-index shape, same as the Jaccard join). No
+    ``max_shingle_df`` cap here: dropping frequent shingles would turn
+    real contamination into silent false negatives."""
+    doc_sh = word_ngrams(docs, n, id_col, text_col)
+    bench_sh = word_ngrams(benchmark, n, id_col, text_col).select("shingle").distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    hits = (
+        doc_sh.join(bench_sh, "shingle", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        docs.select(id_col)
+        .distinct()
+        .join(hits, id_col, "left")
+        .select(
+            id_col, F.coalesce("__hit", F.lit(0)).cast("long").alias("contaminated")
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,

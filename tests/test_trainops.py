@@ -311,3 +311,28 @@ def test_repetition_scores_edge_cases(spark):
     assert dup[0] == 0.0  # no bigrams
     assert dup[1] == round(1 - 1 / 3, 4)  # ['a a','a a','a a']
     assert dup[2] == 0.25  # ['x y','y x','x y','y z'] -> 3 distinct of 4
+
+
+def test_decontaminate_planted_overlap(spark):
+    """Planted contamination: only docs sharing a full word-5-gram with
+    the benchmark are flagged; 4-gram overlap and short docs are not."""
+    from motive_rdf_spark.operators.dedup import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "prefix alpha beta gamma delta epsilon suffix"),  # 5-gram hit
+            (1, "alpha beta gamma delta other words here"),  # only 4-gram overlap
+            (2, "totally unrelated content with many words"),
+            (3, "beta gamma delta"),  # < 5 tokens: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    for bcast in (True, False):
+        got = {
+            r["doc_id"]: r["contaminated"]
+            for r in decontaminate(docs, bench, n=5, broadcast_benchmark=bcast).collect()
+        }
+        assert got == {0: 1, 1: 0, 2: 0, 3: 0}, (bcast, got)
