@@ -766,6 +766,38 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
 
 
+_SEL_HASH_SQL = "('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 12))::UBIGINT % 1000000"
+
+
+@q(
+    "seeded_sample",
+    f"SELECT doc_id, source FROM documents WHERE {_SEL_HASH_SQL} < 100000",
+)
+def seeded_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample (portable md5 hash, seed 42):
+    the same rows on any engine, partitioning, or cluster size."""
+    from motive_rdf_spark.operators.sampling import seeded_sample
+
+    return seeded_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"), rate=0.1, seed=42
+    )
+
+
+@q(
+    "stratified_sample",
+    f"""SELECT doc_id, source FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY {_SEL_HASH_SQL}, doc_id) <= 5""",
+)
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per source, hash-ranked: deterministic stratified
+    quota sampling."""
+    from motive_rdf_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"), "source", k=5, seed=42
+    )
+
+
 _DECONTAMINATE_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -1,0 +1,53 @@
+"""Deterministic, engine-portable sampling for training-data curation.
+
+Reproducibility is the contract: the same (seed, row) pair must select
+the same rows on any cluster size, any partitioning, any engine — so
+selection is a pure function of row identity via the md5-affine
+portable-hash pattern the MinHash/SimHash oracles already use
+(dedup.py): any engine with md5 reproduces the exact sample.
+
+- ``seeded_sample`` — Bernoulli keep/drop per row. Narrow (no shuffle,
+  no RNG state): a filter on hash(id, seed) % precision. The
+  built-in ``DataFrame.sample`` is partition-order-dependent and not
+  reproducible across engines; this is.
+- ``stratified_sample`` — exactly ``k`` rows per group (fewer if the
+  group is smaller), chosen by hash rank. Shuffles once on the group
+  key; a pathologically hot group concentrates its window in one
+  task — at 100 TB pre-filter hot groups with ``seeded_sample`` at
+  rate ~ k/|group| first, then rank the survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+#: hex chars of md5 used for the selection hash: 12 -> 48 bits, fits a
+#: signed long with headroom, collision-free for sampling purposes
+_HEX_CHARS = 12
+PRECISION = 1_000_000
+
+
+def _sel_hash(id_col: str, seed: int):
+    """Portable selection hash in [0, PRECISION): identical in any
+    engine as ('0x' || substring(md5(id || ':' || seed), 1, 12)) % P."""
+    md = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.lit(str(seed))))
+    return F.pmod(F.conv(F.substring(md, 1, _HEX_CHARS), 16, 10).cast("long"), F.lit(PRECISION))
+
+
+def seeded_sample(df: DataFrame, rate: float, seed: int = 42, id_col: str = "doc_id") -> DataFrame:
+    """Keep each row iff hash(id, seed) < rate * PRECISION. Expected
+    fraction ``rate``; exact membership is deterministic per (id, seed)."""
+    return df.filter(_sel_hash(id_col, seed) < int(rate * PRECISION))
+
+
+def stratified_sample(
+    df: DataFrame, group_col: str, k: int, seed: int = 42, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, ranked by the portable
+    hash (ties broken by id — total order, so the result is unique)."""
+    w = Window.partitionBy(group_col).orderBy(_sel_hash(id_col, seed), F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

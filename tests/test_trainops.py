@@ -336,3 +336,34 @@ def test_decontaminate_planted_overlap(spark):
             for r in decontaminate(docs, bench, n=5, broadcast_benchmark=bcast).collect()
         }
         assert got == {0: 1, 1: 0, 2: 0, 3: 0}, (bcast, got)
+
+
+def test_seeded_sampling_deterministic_and_stratified(spark):
+    """Sampling is a pure function of (id, seed): identical membership
+    at any partitioning, different seeds give different samples, and
+    the stratified variant returns exactly min(k, |group|) per group."""
+    from motive_rdf_spark.operators.sampling import seeded_sample, stratified_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).cast("string").alias("source")
+    )
+    s1 = sorted(r["doc_id"] for r in seeded_sample(df, 0.2, seed=1).collect())
+    s1b = sorted(
+        r["doc_id"] for r in seeded_sample(df.repartition(13), 0.2, seed=1).collect()
+    )
+    s2 = sorted(r["doc_id"] for r in seeded_sample(df, 0.2, seed=2).collect())
+    assert s1 == s1b
+    assert s1 != s2
+    assert 0.15 < len(s1) / 2000 < 0.25
+
+    st = stratified_sample(df, "source", k=10, seed=1)
+    per_group = {
+        r["source"]: r["n"]
+        for r in st.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_group == {str(g): 10 for g in range(7)}
+    # a group smaller than k returns the whole group
+    tiny = df.filter((F.col("doc_id") < 3) | (F.col("source") != "0"))
+    st_tiny = stratified_sample(tiny, "source", k=10, seed=1)
+    n0 = st_tiny.filter(F.col("source") == "0").count()
+    assert n0 == 1  # only doc_id 0 has source '0' among doc_id < 3
