@@ -766,6 +766,35 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_df=None)
 
 
+def redact_pii(
+    df: DataFrame, col: str, pattern: str = r"[0-9]+", replacement: str = "#"
+) -> DataFrame:
+    """PII scrubbing: replace every match of ``pattern`` in ``col`` and
+    count the redactions. Narrow projection — native regexp expressions,
+    no shuffle, no Python; patterns restricted to the RE2-compatible
+    subset so any engine (and the DuckDB oracle) agrees."""
+    return df.withColumn(
+        f"{col}_redacted", F.regexp_replace(col, pattern, replacement)
+    ).withColumn(
+        "n_redactions",
+        F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast("long"),
+    )
+
+
+@q(
+    "redact_digits",
+    """SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redactions
+FROM events""",
+)
+def redact_digits_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub digit runs from the event props payload (the PII-redaction
+    machinery over a column that actually matches)."""
+    return redact_pii(_t(spark, sf_dir, "events").select("event_id", "props"), "props").drop(
+        "props"
+    )
+
+
 _SEL_HASH_SQL = "('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 12))::UBIGINT % 1000000"
 
 

@@ -367,3 +367,26 @@ def test_seeded_sampling_deterministic_and_stratified(spark):
     st_tiny = stratified_sample(tiny, "source", k=10, seed=1)
     n0 = st_tiny.filter(F.col("source") == "0").count()
     assert n0 == 1  # only doc_id 0 has source '0' among doc_id < 3
+
+
+def test_redact_pii_email_pattern(spark):
+    """Email redaction: exact replacement strings and counts, including
+    multi-match rows and no-match rows."""
+    from motive_rdf_spark.contract import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "contact bob@example.com or eve@test.org today"),
+            (1, "no addresses here"),
+            (2, "x@y.io"),
+        ],
+        "id long, body string",
+    )
+    pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    rows = {
+        r["id"]: (r["body_redacted"], r["n_redactions"])
+        for r in redact_pii(df, "body", pattern=pat, replacement="<EMAIL>").collect()
+    }
+    assert rows[0] == ("contact <EMAIL> or <EMAIL> today", 2)
+    assert rows[1] == ("no addresses here", 0)
+    assert rows[2] == ("<EMAIL>", 1)
