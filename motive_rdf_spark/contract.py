@@ -827,6 +827,22 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "pack_sequences",
+    """SELECT doc_id, source,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(FLOOR((SUM(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - len(string_split(text, ' '))) / 512.0) AS BIGINT) AS pack_id
+FROM documents""",
+)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~512-token context sequences per source via
+    a per-group running-sum window (never a global sort)."""
+    from motive_rdf_spark.operators.sampling import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), 512, "source")
+
+
 _DECONTAMINATE_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents

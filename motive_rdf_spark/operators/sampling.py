@@ -40,6 +40,42 @@ def seeded_sample(df: DataFrame, rate: float, seed: int = 42, id_col: str = "doc
     return df.filter(_sel_hash(id_col, seed) < int(rate * PRECISION))
 
 
+def pack_sequences(
+    df: DataFrame,
+    target_tokens: int,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for context-window assembly: within each group
+    (deterministic order by ``id_col``), assign consecutive documents
+    to packs of ~``target_tokens`` whitespace tokens. Returns
+    DataFrame[id_col, group_col, n_tokens, pack_id] where ``pack_id``
+    is the 0-based pack index within the group.
+
+    A doc lands in the pack its *preceding* cumulative count falls in
+    (floor((cumsum - n) / target)), so a pack may overflow by at most
+    one document — the standard greedy boundary rule, and expressible
+    as one running-sum window in any engine.
+
+    Scale: the window partitions by ``group_col`` (source, shard, …) —
+    never a global ORDER BY, which would funnel the corpus through one
+    task. Groups are the parallelism unit; re-shard upstream if one
+    group dominates."""
+    n = F.size(F.split(text_col, r"\s+")).cast("long")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.select(
+        id_col,
+        group_col,
+        n.alias("n_tokens"),
+        F.floor((F.sum(n).over(w) - n) / target_tokens).cast("long").alias("pack_id"),
+    )
+
+
 def stratified_sample(
     df: DataFrame, group_col: str, k: int, seed: int = 42, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -390,3 +390,27 @@ def test_redact_pii_email_pattern(spark):
     assert rows[0] == ("contact <EMAIL> or <EMAIL> today", 2)
     assert rows[1] == ("no addresses here", 0)
     assert rows[2] == ("<EMAIL>", 1)
+
+
+def test_pack_sequences_boundaries(spark):
+    """Pack assignment: a doc belongs to the pack its preceding
+    cumulative count falls in; packs overflow by at most one doc;
+    groups pack independently."""
+    from motive_rdf_spark.operators.sampling import pack_sequences
+
+    mk = lambda n: " ".join(["w"] * n)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (0, "a", mk(6)),  # cum_before 0  -> pack 0
+            (1, "a", mk(6)),  # cum_before 6  -> pack 0 (overflows to 12)
+            (2, "a", mk(3)),  # cum_before 12 -> pack 1
+            (3, "a", mk(20)), # cum_before 15 -> pack 1
+            (4, "b", mk(4)),  # independent group -> pack 0
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["pack_id"], r["n_tokens"])
+        for r in pack_sequences(df, 10, "source").collect()
+    }
+    assert got == {0: (0, 6), 1: (0, 6), 2: (1, 3), 3: (1, 20), 4: (0, 4)}
