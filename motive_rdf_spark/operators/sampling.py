@@ -37,7 +37,9 @@ def _sel_hash(id_col: str, seed: int):
 def seeded_sample(df: DataFrame, rate: float, seed: int = 42, id_col: str = "doc_id") -> DataFrame:
     """Keep each row iff hash(id, seed) < rate * PRECISION. Expected
     fraction ``rate``; exact membership is deterministic per (id, seed)."""
-    return df.filter(_sel_hash(id_col, seed) < int(rate * PRECISION))
+    # round, don't truncate: int(0.29 * 1e6) is 289999 under binary
+    # float, which would shift the boundary hash out of the sample
+    return df.filter(_sel_hash(id_col, seed) < int(round(rate * PRECISION)))
 
 
 def pack_sequences(

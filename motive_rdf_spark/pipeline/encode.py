@@ -93,10 +93,18 @@ def _dict_fits_broadcast(node_dict: DataFrame) -> bool:
     """Whether the node dictionary is small enough to broadcast. The
     count is one cheap job over an already-materialized (checkpointed
     or storage-backed) dictionary — trivial next to the two triple-set
-    shuffles it can save."""
+    shuffles it can save. Callers that already know the term count
+    (dense_ids_counted threads it) should pass it instead of invoking
+    this (ADVICE r3: counting an un-materialized dictionary plan runs
+    the whole build once just to pick a join strategy)."""
+    from pyspark.errors import PySparkException
+
     try:
         return node_dict.count() <= BROADCAST_NODE_DICT_MAX_TERMS
-    except Exception:
+    except PySparkException:
+        # only the expected failure mode (a dead/unbound plan at
+        # strategy-choice time) degrades to the spill-safe shuffle join;
+        # genuine analysis errors propagate from the join itself
         return False
 
 
@@ -165,12 +173,25 @@ def encode_triples(
     return enc, node_dict, pred_dict
 
 
-def decode_triples(triples: DataFrame, node_dict: DataFrame, pred_dict: DataFrame) -> DataFrame:
+def decode_triples(
+    triples: DataFrame,
+    node_dict: DataFrame,
+    pred_dict: DataFrame,
+    node_terms: int | None = None,
+) -> DataFrame:
     """(s,p,o) long -> (subj, pred, obj) strings (KGraph.recover,
-    KGraph.java:1490-1509) — three joins, predicate side broadcast."""
+    KGraph.java:1490-1509) — three joins, predicate side broadcast.
+
+    Pass ``node_terms`` when the dictionary size is already known (e.g.
+    from ``dense_ids_counted``) so the broadcast-vs-shuffle choice costs
+    zero jobs; otherwise one count job runs over ``node_dict``."""
     ds = node_dict.select(F.col("id").alias("s"), F.col("term").alias("subj"))
     do = node_dict.select(F.col("id").alias("o"), F.col("term").alias("obj"))
-    if _dict_fits_broadcast(node_dict):
+    if (
+        node_terms <= BROADCAST_NODE_DICT_MAX_TERMS
+        if node_terms is not None
+        else _dict_fits_broadcast(node_dict)
+    ):
         ds, do = F.broadcast(ds), F.broadcast(do)
     dp = F.broadcast(pred_dict.select(F.col("id").alias("p"), F.col("term").alias("pred")))
     return (

@@ -266,10 +266,15 @@ def test_encode_broadcast_equals_shuffle(spark, monkeypatch):
 
     enc_b, dec_b, df_b = run()
     plan_b = df_b._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan_b
+    # pred dict broadcasts unconditionally, so presence alone can't
+    # detect a node-broadcast regression (ADVICE r3): subj + obj + pred
+    # all broadcast => at least 3 BroadcastHashJoins in the fitting case
+    assert plan_b.count("BroadcastHashJoin") >= 3
 
     monkeypatch.setattr(enc_mod, "BROADCAST_NODE_DICT_MAX_TERMS", 0)
-    enc_s, dec_s, _ = run()
+    enc_s, dec_s, df_s = run()
+    plan_s = df_s._jdf.queryExecution().executedPlan().toString()
+    assert plan_s.count("BroadcastHashJoin") < plan_b.count("BroadcastHashJoin")
     assert enc_b == enc_s
     assert dec_b == dec_s
     assert sorted(dec_b) == sorted(map(tuple, triples.collect()))

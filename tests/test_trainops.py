@@ -414,3 +414,35 @@ def test_pack_sequences_boundaries(spark):
         for r in pack_sequences(df, 10, "source").collect()
     }
     assert got == {0: (0, 6), 1: (0, 6), 2: (1, 3), 3: (1, 20), 4: (0, 4)}
+
+
+def test_pack_sequences_oracle_agrees_on_multiwhitespace(spark, tmp_path):
+    """VERDICT r3 item 4: the contract oracle must tokenize runs of
+    spaces/tabs exactly like the Spark side (regex split), checked on a
+    fixture that actually contains them."""
+    import duckdb
+
+    from motive_rdf_spark.contract import registry
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a", "one  two\tthree"),
+            (1, "a", "alpha beta  gamma delta epsilon"),
+            (2, "a", " lead and trail "),
+            (3, "b", "x \t y"),
+            (4, "b", "single"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+
+    fn, sql = registry()["pack_sequences"]
+    spark_rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    duck_rows = sorted(map(tuple, con.execute(sql).fetchall()))
+    assert spark_rows == duck_rows
