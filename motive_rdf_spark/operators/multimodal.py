@@ -2,19 +2,22 @@
 with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schemas, batch iteration, partition-size
-control, UDF signatures — is real and tested, and two modalities have
-REAL pure-Python codecs (no external media libraries needed):
+control, UDF signatures — is real and tested, and all three modalities
+have REAL pure-Python codecs (no external media libraries needed):
 
 - ``image`` — binary PPM (P6): header parse (width/height/maxval,
   whitespace per the netpbm spec) + raw RGB plane decode;
 - ``audio`` — WAV (RIFF little-endian): chunk walk to ``fmt ``/``data``,
-  PCM16 sample decode.
+  PCM16 sample decode;
+- ``video`` — uncompressed AVI (RIFF 'AVI '): header-LIST walk to
+  ``avih``/``strh``/``strf`` (DIB / BI_RGB, 24-bit), ``movi`` frame
+  chunks decoded as bottom-up BGR device-independent bitmaps
+  (VERDICT r3 item 2 — the former ``NotImplementedError`` boundary).
 
-``decode=\"real\"`` uses them; a ``video`` row still raises
-``NotImplementedError`` there (the remaining marked integration point —
-frame grabbing needs a container/codec library like pyav).
-``decode=\"fake\"`` keeps the deterministic bytes-hash decoder so
-plumbing tests run on any payload; ``decode=\"strict\"`` always raises.
+``decode=\"real\"`` uses them for every modality. ``decode=\"fake\"``
+keeps the deterministic bytes-hash decoder so plumbing tests run on any
+payload; ``decode=\"strict\"`` always raises (the explicit slot where a
+production deployment plugs a library decoder for compressed codecs).
 
 Scale notes: media rows are large (MBs); ``MEDIA_PARTITION_TARGET``
 documents the repartition rule — size partitions by *bytes*, not rows
@@ -48,6 +51,7 @@ FEATURE_SCHEMA = "media_id long, modality string, n_bytes long, feature array<do
 # oracles.multimodal_sql derives expected features from the same rule)
 PPM_W, PPM_H = 16, 12
 WAV_SAMPLES, WAV_RATE = 500, 8000
+AVI_W, AVI_H, AVI_FRAMES, AVI_FPS = 16, 8, 4, 10
 
 
 def synthesize_media(spark, rows: int, seed: int = 42, codec: str = "fake") -> DataFrame:
@@ -55,11 +59,13 @@ def synthesize_media(spark, rows: int, seed: int = 42, codec: str = "fake") -> D
 
     ``codec="fake"``: binary payload = seeded sha hash bytes (any
     modality; pairs with ``decode="fake"``).
-    ``codec="real"``: well-formed PPM (even media_id → image) / WAV
-    (odd media_id → audio) payloads whose pixel/sample values follow a
-    closed-form rule — pixel i = (31*i + media_id) mod 256, sample i =
-    ((37*i + 11*media_id) mod 65536) - 32768 — so expected decoded
-    features are computable exactly by an independent oracle.
+    ``codec="real"``: well-formed PPM (media_id % 3 == 0 → image) /
+    WAV (% 3 == 1 → audio) / uncompressed AVI (% 3 == 2 → video)
+    payloads whose pixel/sample values follow closed-form rules —
+    image pixel i = (31*i + media_id) mod 256, audio sample i =
+    ((37*i + 11*media_id) mod 65536) - 32768, video frame f pixel i =
+    (31*i + 7*f + media_id) mod 256 — so expected decoded features are
+    computable exactly by an independent oracle.
     """
     if codec == "fake":
         return spark.range(rows).select(
@@ -86,13 +92,13 @@ def synthesize_media(spark, rows: int, seed: int = 42, codec: str = "fake") -> D
             out = {"media_id": [], "modality": [], "media": [], "meta": []}
             for mid in pdf["id"]:
                 mid = int(mid)
-                if mid % 2 == 0:
+                if mid % 3 == 0:
                     payload = _make_ppm(mid)
                     out["modality"].append("image")
                     out["meta"].append(
                         {"width": PPM_W, "height": PPM_H, "duration_ms": 0, "codec": "ppm"}
                     )
-                else:
+                elif mid % 3 == 1:
                     payload = _make_wav(mid)
                     out["modality"].append("audio")
                     out["meta"].append(
@@ -101,6 +107,17 @@ def synthesize_media(spark, rows: int, seed: int = 42, codec: str = "fake") -> D
                             "height": 0,
                             "duration_ms": WAV_SAMPLES * 1000 // WAV_RATE,
                             "codec": "pcm16",
+                        }
+                    )
+                else:
+                    payload = _make_avi(mid)
+                    out["modality"].append("video")
+                    out["meta"].append(
+                        {
+                            "width": AVI_W,
+                            "height": AVI_H,
+                            "duration_ms": AVI_FRAMES * 1000 // AVI_FPS,
+                            "codec": "rawvideo",
                         }
                     )
                 out["media_id"].append(mid)
@@ -131,6 +148,95 @@ def _make_wav(mid: int) -> bytes:
         + struct.pack("<I", len(data))
     )
     return hdr + data
+
+
+def _avi_frame_rgb(mid: int, f: int) -> np.ndarray:
+    """Closed-form frame ``f`` as (h, w, 3) uint8 in logical top-down
+    RGB order: flat byte i = (31*i + 7*f + media_id) mod 256."""
+    n = AVI_W * AVI_H * 3
+    px = ((np.arange(n, dtype=np.int64) * 31 + 7 * f + mid) % 256).astype(np.uint8)
+    return px.reshape(AVI_H, AVI_W, 3)
+
+
+def _rgb_to_dib(frame: np.ndarray) -> bytes:
+    """Top-down RGB -> DIB raster: BGR channel order, bottom-up rows,
+    each row padded to a 4-byte boundary (BITMAPINFOHEADER rules)."""
+    h, w, _ = frame.shape
+    bgr = frame[::-1, :, ::-1]  # flip rows, swap R<->B
+    row = bgr.reshape(h, w * 3)
+    pad = (-w * 3) % 4
+    if pad:
+        row = np.concatenate([row, np.zeros((h, pad), dtype=np.uint8)], axis=1)
+    return row.tobytes()
+
+
+def _make_avi(mid: int) -> bytes:
+    """Minimal spec-correct uncompressed AVI: RIFF('AVI ') containing
+    LIST('hdrl'){avih, LIST('strl'){strh('vids','DIB '), strf(BI_RGB
+    24-bit BITMAPINFOHEADER)}} then LIST('movi'){'00db' raw DIB frames}.
+    Every structure is the public riff/avi layout (Microsoft AVI RIFF
+    form); no index chunk — idx1 is optional for non-interleaved files.
+    """
+    frames = [_rgb_to_dib(_avi_frame_rgb(mid, f)) for f in range(AVI_FRAMES)]
+    frame_bytes = len(frames[0])
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        assert len(body) % 2 == 0  # RIFF chunks are word-aligned
+        return tag + struct.pack("<I", len(body)) + body
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", tag + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // AVI_FPS,  # dwMicroSecPerFrame
+        frame_bytes * AVI_FPS,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0,  # dwFlags
+        AVI_FRAMES,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_bytes,  # dwSuggestedBufferSize
+        AVI_W,
+        AVI_H,
+        0, 0, 0, 0,  # dwReserved
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII4H",
+            0,  # dwFlags
+            0, 0,  # priority, language
+            0,  # dwInitialFrames
+            1,  # dwScale
+            AVI_FPS,  # dwRate (rate/scale = fps)
+            0,  # dwStart
+            AVI_FRAMES,  # dwLength
+            frame_bytes,  # dwSuggestedBufferSize
+            0,  # dwQuality
+            0,  # dwSampleSize
+            0, 0, AVI_W, AVI_H,  # rcFrame
+        )
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40,  # biSize
+        AVI_W,
+        AVI_H,  # positive height = bottom-up DIB
+        1,  # biPlanes
+        24,  # biBitCount
+        0,  # biCompression = BI_RGB (uncompressed)
+        frame_bytes,  # biSizeImage
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", fr) for fr in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # ---------------------------------------------------------------------------
@@ -191,6 +297,51 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return np.frombuffer(data, dtype="<i2"), int(rate)
 
 
+def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
+    """Uncompressed AVI (RIFF 'AVI ') → (frames (n, h, w, 3) uint8 in
+    top-down RGB order, fps). Walks the RIFF LIST tree to ``avih`` (for
+    dimensions and frame timing), ``strf`` (to verify BI_RGB 24-bit),
+    and the ``movi`` LIST whose ``00db``/``00dc`` chunks carry one
+    bottom-up BGR DIB raster per frame (rows padded to 4 bytes)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = None
+    us_per_frame = 0
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal w, h, us_per_frame
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + size]
+            if tag == b"LIST":
+                walk(body[4:])  # skip the 4-byte list type, recurse
+            elif tag == b"avih":
+                us_per_frame = struct.unpack("<I", body[:4])[0]
+                w, h = struct.unpack("<II", body[32:40])
+            elif tag == b"strf":
+                _bisize, _w, _h, _planes, bits, comp = struct.unpack("<IiiHHI", body[:20])
+                if comp != 0 or bits != 24:
+                    raise ValueError(f"only BI_RGB 24-bit AVI supported (comp={comp}, bits={bits})")
+            elif tag[2:4] in (b"db", b"dc") and size:
+                frames.append(body)
+            pos += 8 + size + (size % 2)  # chunks are word-aligned
+
+    walk(payload[12:])
+    if w is None or not frames:
+        raise ValueError("missing avih header or movi frames")
+    stride = (w * 3 + 3) // 4 * 4
+    out = np.empty((len(frames), h, w, 3), dtype=np.uint8)
+    for i, raw in enumerate(frames):
+        rows = np.frombuffer(raw, dtype=np.uint8, count=h * stride).reshape(h, stride)
+        bgr = rows[:, : w * 3].reshape(h, w, 3)
+        out[i] = bgr[::-1, :, ::-1]  # bottom-up -> top-down, BGR -> RGB
+    fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
+    return out, fps
+
+
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for a real codec: bytes → FEATURE_DIM
     doubles derived from sha256(payload)."""
@@ -214,11 +365,15 @@ def _real_features(modality: str, payload: bytes) -> np.ndarray:
         out[0] = (float(si.sum()) / si.size) / 32768.0
         out[1] = float(si.std()) / 32768.0
         out[2], out[3] = si.size, rate
+    elif modality == "video":
+        frames, fps = decode_avi(payload)
+        flat = frames.astype(np.int64).ravel()
+        out[0] = (float(flat.sum()) / flat.size) / 255.0
+        out[1] = float(flat.std()) / 255.0
+        out[2], out[3] = frames.shape[2], frames.shape[1]
+        out[4], out[5] = frames.shape[0], fps
     else:
-        raise NotImplementedError(
-            f"no codec for modality {modality!r}; video frame sampling needs a "
-            "container library (pyav) — plug it in here, keeping the batch contract"
-        )
+        raise ValueError(f"unknown modality {modality!r}")
     return out
 
 
@@ -262,7 +417,7 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts).
     The timestamp grid is native Spark (sequence/explode); the actual
-    frame grab happens inside ``extract_features``'s decoder slot."""
+    frame grab is ``sample_frames`` below (same grid rule)."""
     return (
         media.filter(F.col("modality") == "video")
         .select(
@@ -274,3 +429,40 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+FRAME_SCHEMA = "media_id long, frame_ts_ms long, frame_mean double"
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Grab frames at ``frame_sample_plan``'s timestamp grid: decode
+    each video payload once per row, emit one output row per sampled
+    timestamp with that frame's pixel mean (0..1). The grid rule is
+    identical to ``frame_sample_plan`` (0 .. duration_ms-1 step
+    every_ms), so the two join 1:1 — pinned by test.
+
+    Map-only (zero shuffles); each task decodes only its partition's
+    payloads, so byte-based repartitioning upstream bounds task memory
+    exactly as for ``extract_features``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            tss: list[int] = []
+            means: list[float] = []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["media"], pdf["duration_ms"]
+            ):
+                frames, fps = decode_avi(bytes(payload))
+                for ts in range(0, max(int(dur) - 1, 0) + 1, every_ms):
+                    idx = min(int(ts * fps // 1000), frames.shape[0] - 1)
+                    flat = frames[idx].astype(np.int64).ravel()
+                    ids.append(int(mid))
+                    tss.append(ts)
+                    means.append((float(flat.sum()) / flat.size) / 255.0)
+            yield pd.DataFrame({"media_id": ids, "frame_ts_ms": tss, "frame_mean": means})
+
+    vids = media.filter(F.col("modality") == "video").select(
+        "media_id", "media", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return vids.mapInPandas(run, FRAME_SCHEMA)

@@ -276,13 +276,20 @@ def multimodal_sql(rows: int) -> str:
     """Expected decoded features for ``synthesize_media(codec="real")``:
     pixel/sample values follow closed-form integer rules, so the mean
     (feature[0]) and byte size are computed here by integer arithmetic —
-    entirely independent of the PPM/WAV codecs under test.
+    entirely independent of the PPM/WAV/AVI codecs under test.
 
-    PPM payload: 13-byte header ('P6\\n16 12\\n255\\n') + 16*12*3 raw
-    bytes with pixel i = (31*i + media_id) mod 256. WAV payload: 44-byte
+    PPM payload (media_id % 3 == 0): 13-byte header
+    ('P6\\n16 12\\n255\\n') + 16*12*3 raw bytes with pixel i =
+    (31*i + media_id) mod 256. WAV payload (% 3 == 1): 44-byte
     RIFF/fmt/data header + 500 PCM16 samples with sample i =
-    ((37*i + 11*media_id) mod 65536) - 32768."""
+    ((37*i + 11*media_id) mod 65536) - 32768. AVI payload (% 3 == 2):
+    RIFF(12) + hdrl LIST(212) + movi LIST(12 + frames*(8 + h*w*3)) with
+    frame f pixel i = (31*i + 7*f + media_id) mod 256 — byte size and
+    layout per the public AVI RIFF form, not the writer under test."""
     from motive_rdf_spark.operators.multimodal import (
+        AVI_FRAMES,
+        AVI_H,
+        AVI_W,
         PPM_H,
         PPM_W,
         WAV_SAMPLES,
@@ -291,6 +298,11 @@ def multimodal_sql(rows: int) -> str:
     n_px = PPM_W * PPM_H * 3
     ppm_bytes = len(f"P6\n{PPM_W} {PPM_H}\n255\n") + n_px
     wav_bytes = 44 + 2 * WAV_SAMPLES
+    # RIFF hdr 12; LIST hdrl = 12 + avih(8+56) + LIST strl(12 + strh(8+56)
+    # + strf(8+40) = 124) = 200; LIST movi = 12 + frames*(8 + padded raster)
+    v_px = AVI_W * AVI_H * 3  # 16*3 = 48 bytes/row: already 4-aligned
+    v_total = v_px * AVI_FRAMES
+    avi_bytes = 12 + 200 + 12 + AVI_FRAMES * (8 + v_px)
     return f"""
 WITH m AS (SELECT k AS media_id FROM generate_series(0, {rows - 1}) t(k)),
 img AS (
@@ -298,16 +310,23 @@ img AS (
          (list_sum(list_transform(generate_series(0, {n_px - 1}),
                                   i -> CAST((i * 31 + media_id) % 256 AS DOUBLE)))
           / {n_px}) / 255.0::DOUBLE AS f0
-  FROM m WHERE media_id % 2 = 0
+  FROM m WHERE media_id % 3 = 0
 ), aud AS (
   SELECT media_id, 'audio' AS modality, {wav_bytes} AS n_bytes,
          (list_sum(list_transform(generate_series(0, {WAV_SAMPLES - 1}),
                                   i -> CAST(((i * 37 + media_id * 11) % 65536) - 32768 AS DOUBLE)))
           / {WAV_SAMPLES}) / 32768.0::DOUBLE AS f0
-  FROM m WHERE media_id % 2 = 1
+  FROM m WHERE media_id % 3 = 1
+), vid AS (
+  SELECT media_id, 'video' AS modality, {avi_bytes} AS n_bytes,
+         (list_sum(flatten(list_transform(generate_series(0, {AVI_FRAMES - 1}),
+            f -> list_transform(generate_series(0, {v_px - 1}),
+                                i -> CAST((i * 31 + f * 7 + media_id) % 256 AS DOUBLE)))))
+          / {v_total}) / 255.0::DOUBLE AS f0
+  FROM m WHERE media_id % 3 = 2
 )
 SELECT media_id, modality, CAST(n_bytes AS BIGINT) AS n_bytes, ROUND(f0, 6) AS f0
-FROM (SELECT * FROM img UNION ALL SELECT * FROM aud)"""
+FROM (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)"""
 
 
 def planted_support_sql(

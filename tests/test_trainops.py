@@ -262,31 +262,78 @@ def test_multimodal_real_features_match_closed_form(spark):
     """decode="real" over synthesized PPM/WAV payloads reproduces the
     closed-form means the independent oracle computes (contract
     multimodal_features)."""
-    from motive_rdf_spark.operators.multimodal import PPM_H, PPM_W, WAV_SAMPLES
+    from motive_rdf_spark.operators.multimodal import (
+        AVI_FRAMES,
+        AVI_H,
+        AVI_W,
+        PPM_H,
+        PPM_W,
+        WAV_SAMPLES,
+    )
 
-    media = synthesize_media(spark, 8, codec="real")
+    media = synthesize_media(spark, 9, codec="real")
     rows = {r["media_id"]: r for r in extract_features(media, decode="real").collect()}
-    assert len(rows) == 8
+    assert len(rows) == 9
     n = PPM_W * PPM_H * 3
+    nv = AVI_W * AVI_H * 3
     for mid, r in rows.items():
-        if mid % 2 == 0:
+        if mid % 3 == 0:
             assert r["modality"] == "image"
             exp = sum((i * 31 + mid) % 256 for i in range(n)) / n / 255.0
-        else:
+        elif mid % 3 == 1:
             assert r["modality"] == "audio"
             exp = (
                 sum(((i * 37 + mid * 11) % 65536) - 32768 for i in range(WAV_SAMPLES))
                 / WAV_SAMPLES
                 / 32768.0
             )
+        else:
+            assert r["modality"] == "video"
+            exp = (
+                sum((i * 31 + f * 7 + mid) % 256 for f in range(AVI_FRAMES) for i in range(nv))
+                / (nv * AVI_FRAMES)
+                / 255.0
+            )
+            assert r["feature"][2:6] == [AVI_W, AVI_H, AVI_FRAMES, 10.0]
         assert abs(r["feature"][0] - exp) < 1e-12, (mid, r["feature"][0], exp)
 
 
-def test_multimodal_video_still_stub_in_real_mode(spark):
+def test_multimodal_strict_mode_still_raises(spark):
+    """decode="strict" stays the explicit plug-a-library slot."""
     media = synthesize_media(spark, 9).filter(F.col("modality") == "video")
     assert media.count() > 0
-    with pytest.raises(Exception, match="NotImplementedError|no codec for modality"):
-        extract_features(media, decode="real").collect()
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        extract_features(media, decode="strict").collect()
+
+
+def test_sample_frames_matches_plan_grid_and_closed_form(spark):
+    """sample_frames emits exactly frame_sample_plan's (media_id, ts)
+    grid, and each sampled frame's mean matches the closed-form pixel
+    rule for the frame at ts*fps/1000."""
+    from motive_rdf_spark.operators.multimodal import (
+        AVI_FPS,
+        AVI_FRAMES,
+        AVI_H,
+        AVI_W,
+        sample_frames,
+    )
+
+    media = synthesize_media(spark, 12, codec="real").persist()
+    got = {
+        (r["media_id"], r["frame_ts_ms"]): r["frame_mean"]
+        for r in sample_frames(media, every_ms=100).collect()
+    }
+    grid = {
+        (r["media_id"], r["frame_ts_ms"])
+        for r in frame_sample_plan(media, every_ms=100).collect()
+    }
+    media.unpersist()
+    assert set(got) == grid and grid  # identical grids, non-empty
+    nv = AVI_W * AVI_H * 3
+    for (mid, ts), mean in got.items():
+        f = min(ts * AVI_FPS // 1000, AVI_FRAMES - 1)
+        exp = sum((i * 31 + f * 7 + mid) % 256 for i in range(nv)) / nv / 255.0
+        assert abs(mean - exp) < 1e-12, (mid, ts, mean, exp)
 
 
 def test_repetition_scores_edge_cases(spark):
