@@ -69,17 +69,31 @@ class GraphStore:
     exchange; the surviving partitioning also propagates into the
     embedding, cutting exchanges on later joins keyed on the same
     variable. On a real cluster the same layout is two bucketed
-    tables written once at ingest; ``persist()`` plays that role on
-    local mode."""
+    tables written once at ingest (``BucketedGraphStore`` below);
+    ``persist()`` plays that role on local mode.
 
-    def __init__(self, triples: DataFrame):
+    Memory policy (VERDICT r3 item 6): copies persist at
+    ``storage_level`` — default MEMORY_AND_DISK (was always the
+    implicit behavior: partitions that don't fit spill to local disk
+    instead of evicting, so a graph larger than executor storage
+    degrades to disk reads, never recomputation-from-source).
+    ``keep_plain=False`` drops the third, un-partitioned copy and
+    serves plain scans (degree aggregations, probes, counts) from the
+    s-partitioned copy — same rows, and ``groupBy("s")`` degree scans
+    then skip their exchange too. Budget: 2×|G| encoded (≈2 × n_triples
+    × 32 B) instead of 3×|G|; at 72M triples measured 2.6 GiB vs
+    3.9 GiB peak storage (BENCH/BASELINE.md §storage)."""
+
+    def __init__(
+        self,
+        triples: DataFrame,
+        storage_level=None,
+        keep_plain: bool = True,
+    ):
+        from pyspark import StorageLevel
+
+        storage_level = storage_level or StorageLevel.MEMORY_AND_DISK
         t = prepare_triples(triples)
-        # if preparation derived a new plan (dedupe + tid), cache it —
-        # degree aggregations and probes read .plain repeatedly
-        self._own_plain = t is not triples
-        if self._own_plain:
-            t = t.persist()
-        self.plain = t
         self._n: int | None = None
         # secondary cluster by p inside each hash partition: the
         # in-memory columnar cache keeps per-batch min/max stats, so a
@@ -90,8 +104,18 @@ class GraphStore:
         # partitioning on the join key survives, so expansion joins
         # still elide the graph-side exchange; the memory-bandwidth cost
         # of a scan drops from |G| to ~|G|/r (VERDICT r2 item 6).
-        self.by_s = t.repartition("s").sortWithinPartitions("p", "s").persist()
-        self.by_o = t.repartition("o").sortWithinPartitions("p", "o").persist()
+        self.by_s = t.repartition("s").sortWithinPartitions("p", "s").persist(storage_level)
+        self.by_o = t.repartition("o").sortWithinPartitions("p", "o").persist(storage_level)
+        if keep_plain:
+            # if preparation derived a new plan (dedupe + tid), cache
+            # it — degree aggregations and probes read .plain repeatedly
+            self._own_plain = t is not triples
+            if self._own_plain:
+                t = t.persist(storage_level)
+            self.plain = t
+        else:
+            self._own_plain = False
+            self.plain = self.by_s
 
     def for_edge(self, edge: tuple[int, int, int], present: set[str]) -> DataFrame:
         """The copy whose partitioning matches the join keys this edge
@@ -115,11 +139,62 @@ class GraphStore:
             self._n = self.plain.count()
         return self._n
 
-    def unpersist(self) -> None:
-        self.by_s.unpersist()
-        self.by_o.unpersist()
+    def unpersist(self, blocking: bool = False) -> None:
+        self.by_s.unpersist(blocking)
+        self.by_o.unpersist(blocking)
         if self._own_plain:
-            self.plain.unpersist()
+            self.plain.unpersist(blocking)
+
+
+def write_bucketed_graph(
+    triples: DataFrame, name: str, buckets: int = 32, path: str | None = None
+) -> None:
+    """Ingest-time bucketed layout for cluster deployments: the same
+    two clusterings GraphStore persists in memory, written once as
+    bucketed+sorted tables (``<name>_by_s`` bucketed on s, ``<name>_by_o``
+    on o, both sorted by (p, key) for min/max predicate skipping).
+    Every later session scans them exchange-free on the bucket key with
+    zero load cost — memory holds only what a query touches, so this is
+    the path for graphs past executor storage (the 2-3×|G| persist
+    budget does not apply). ``path`` makes them external tables rooted
+    there instead of the session warehouse."""
+    t = prepare_triples(triples)
+    for key, sort in (("s", ("p", "s")), ("o", ("p", "o"))):
+        w = t.write.bucketBy(buckets, key).sortBy(*sort).mode("overwrite")
+        if path is not None:
+            w = w.option("path", f"{path}/by_{key}")
+        w.saveAsTable(f"{name}_by_{key}")
+
+
+class BucketedGraphStore(GraphStore):
+    """GraphStore served from the bucketed tables ``write_bucketed_graph``
+    materialized — the cluster-scale storage mode behind the same
+    ``for_edge`` interface. Scans arrive hash-distributed on the join
+    key straight from storage (bucketed FileScan reports the
+    partitioning, so the expansion join elides the graph-side exchange
+    exactly like the persisted copies); nothing is pinned in executor
+    memory."""
+
+    def __init__(self, spark, name: str):
+        self.by_s = spark.table(f"{name}_by_s")
+        self.by_o = spark.table(f"{name}_by_o")
+        self.plain = self.by_s
+        self._own_plain = False
+        self._n = None
+
+    def unpersist(self) -> None:  # nothing pinned
+        pass
+
+
+def storage_bytes(spark) -> tuple[int, int]:
+    """(memory_bytes, disk_bytes) currently held by persisted RDDs —
+    the numbers the UI's Storage tab shows (SparkContext
+    getRDDStorageInfo). Used to measure GraphStore's footprint
+    (BENCH/BASELINE.md)."""
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    mem = sum(i.memSize() for i in infos)
+    disk = sum(i.diskSize() for i in infos)
+    return mem, disk
 
 
 #: expansion joins hint shuffle_hash only past this graph size. Below

@@ -12,9 +12,12 @@ portable-hash pattern the MinHash/SimHash oracles already use
   reproducible across engines; this is.
 - ``stratified_sample`` — exactly ``k`` rows per group (fewer if the
   group is smaller), chosen by hash rank. Shuffles once on the group
-  key; a pathologically hot group concentrates its window in one
-  task — at 100 TB pre-filter hot groups with ``seeded_sample`` at
-  rate ~ k/|group| first, then rank the survivors.
+  key; a pathologically hot group would concentrate its window in one
+  task, so groups above ``hot_threshold`` rows are pre-filtered to
+  their ~``safety * k`` smallest-hash rows before ranking (the guard
+  is exact: the filter keeps a prefix of the rank order, and a
+  short-fall — impossible in expectation, vanishing whp — falls back
+  to a full rank of just the affected groups).
 """
 
 from __future__ import annotations
@@ -78,14 +81,77 @@ def pack_sequences(
     )
 
 
-def stratified_sample(
-    df: DataFrame, group_col: str, k: int, seed: int = 42, id_col: str = "doc_id"
-) -> DataFrame:
-    """Exactly min(k, |group|) rows per group, ranked by the portable
-    hash (ties broken by id — total order, so the result is unique)."""
+def _rank_topk(df: DataFrame, group_col: str, k: int, seed: int, id_col: str) -> DataFrame:
+    """min(k, |group|) rows per group by (hash, id) rank — the exact
+    semantics; every path below reduces to this."""
     w = Window.partitionBy(group_col).orderBy(_sel_hash(id_col, seed), F.col(id_col))
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    hot_threshold: int = 1_000_000,
+    safety: float = 4.0,
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, ranked by the portable
+    hash (ties broken by id — total order, so the result is unique).
+
+    Hot-group guard (VERDICT r3 item 3): a group bigger than
+    ``hot_threshold`` rows would funnel through one window task, so
+    such groups are pre-filtered to rows whose selection hash falls
+    below ``ceil(safety * k * PRECISION / |group|)`` before ranking.
+    The guard is *exact*, not approximate: the filter keeps a
+    downward-closed prefix of the (hash, id) rank order, so whenever at
+    least min(k, |group|) rows survive, the top-k of the survivors IS
+    the top-k of the group. The survivor count per flagged group is
+    checked in-plan; a shortfall group (probability ~ exp(-k(safety-1)²
+    /2safety) by Chernoff — ~1e-9 at k=50, safety=4) is re-ranked from
+    the full data, so the output is always identical to the naive path.
+
+    Cost shape at scale: the counts pass is a map-side-combined agg
+    (tiny); flagged groups are ≤ |df| / hot_threshold, so the ``hot``
+    relation broadcasts; the window then shuffles ~safety·k rows per
+    hot group instead of |group|. Non-hot groups rank unchanged.
+    """
+    h = _sel_hash(id_col, seed)
+    hot = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > int(hot_threshold))
+    )
+    # pre-filter: non-hot rows (null __n) pass through; hot rows keep
+    # only the smallest-hash prefix sized ~safety*k
+    thr = F.ceil(F.lit(float(safety) * k * PRECISION) / F.col("__n")).cast("long")
+    survivors = (
+        df.join(F.broadcast(hot), group_col, "left")
+        .filter(F.col("__n").isNull() | (h < thr))
+        .select(*df.columns)
+    )
+    ranked = _rank_topk(survivors, group_col, k, seed, id_col)
+
+    # in-plan shortfall check: a flagged group must yield min(k, __n)
+    # rows, else its prefix was too small — re-rank it from the full df
+    got = (
+        ranked.join(F.broadcast(hot.select(group_col)), group_col, "left_semi")
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    short = (
+        hot.join(got, group_col, "left")
+        .filter(F.coalesce(F.col("__m"), F.lit(0)) < F.least(F.lit(k), F.col("__n")))
+        .select(group_col)
+    )
+    ok = ranked.join(F.broadcast(short), group_col, "left_anti")
+    redo = _rank_topk(
+        df.join(F.broadcast(short), group_col, "left_semi"), group_col, k, seed, id_col
+    )
+    # USING-column joins move the key to the front; restore df's order
+    return ok.unionByName(redo).select(*df.columns)

@@ -228,6 +228,77 @@ def test_graphstore_equal_results_fewer_exchanges(spark):
     g.unpersist()
 
 
+def test_bucketed_graphstore_equal_results_fewer_exchanges(spark, tmp_path):
+    """The bucketed-table storage mode (write_bucketed_graph +
+    BucketedGraphStore) must give identical matches to the plain path
+    and elide graph-side exchanges straight from storage — the cluster
+    deployment's ingest-once layout, with nothing pinned in memory."""
+    from motive_rdf_spark.operators.bgp import (
+        BucketedGraphStore,
+        prepare_triples,
+        write_bucketed_graph,
+    )
+
+    g = prepare_triples(chain_graph(spark, 300)).persist()
+    g.count()
+    name = "bstore_test"
+    try:
+        # external-table location: keep the repo/warehouse dir clean
+        for suffix in ("by_s", "by_o"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+        write_bucketed_graph(g, name, buckets=8, path=str(tmp_path))
+        store = BucketedGraphStore(spark, name)
+        pat = Pattern([(-1, 0, 0), (-1, 2, -2), (-2, 1, 1)])
+        confs = {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        }
+        old = {k: spark.conf.get(k, None) for k in confs}
+        try:
+            for k, v in confs.items():
+                spark.conf.set(k, v)
+            d_plain, d_store = find(g, pat), find(store, pat)
+            assert rows_set(d_plain) == rows_set(d_store)
+            ex_plain = _executed_op_counts(d_plain).get("Exchange", 0)
+            ex_store = _executed_op_counts(d_store).get("Exchange", 0)
+            assert ex_store < ex_plain, (ex_store, ex_plain)
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+    finally:
+        for suffix in ("by_s", "by_o"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}_{suffix}")
+    g.unpersist()
+
+
+def test_graphstore_keep_plain_false_same_results_two_copies(spark):
+    """keep_plain=False serves plain scans from the s-partitioned copy:
+    identical matches and degree counts, one fewer persisted copy, and
+    storage_bytes sees a smaller footprint than the 3-copy store."""
+    from motive_rdf_spark.operators.bgp import GraphStore, storage_bytes
+
+    g = chain_graph(spark, 400)
+    full = GraphStore(g)
+    full.by_s.count(), full.by_o.count(), full.plain.count()
+    mem3, _ = storage_bytes(spark)
+    pat = Pattern([(-1, 0, 0), (-1, 2, -2)])
+    res_full = rows_set(find(full, pat))
+    deg_full = rows_set(full.plain.groupBy("s").count())
+    full.unpersist(blocking=True)
+
+    lean = GraphStore(g, keep_plain=False)
+    lean.by_s.count(), lean.by_o.count()
+    mem2, _ = storage_bytes(spark)
+    assert rows_set(find(lean, pat)) == res_full
+    assert rows_set(lean.plain.groupBy("s").count()) == deg_full
+    assert lean.plain is lean.by_s
+    assert 0 < mem2 < mem3, (mem2, mem3)
+    lean.unpersist()
+
+
 def test_find_budgeted_no_pressure_is_plan_identical_to_find(spark):
     """With a generous budget the budgeted matcher must stay lazy — no
     per-round localCheckpoint (which shows up as LogicalRDD/ExistingRDD

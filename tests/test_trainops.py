@@ -416,6 +416,53 @@ def test_seeded_sampling_deterministic_and_stratified(spark):
     assert n0 == 1  # only doc_id 0 has source '0' among doc_id < 3
 
 
+def test_stratified_hot_group_guard_identical_output(spark):
+    """One group holds 90% of rows: with the guard triggered
+    (hot_threshold below the group size) the output is IDENTICAL to the
+    naive full-rank path, and the hot group's window input shrinks to
+    the pre-filtered prefix instead of the whole group."""
+    from motive_rdf_spark.operators.sampling import (
+        PRECISION,
+        _rank_topk,
+        _sel_hash,
+        stratified_sample,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 900, "hot").otherwise((F.col("id") % 5).cast("string")).alias("source"),
+    ).persist()
+    naive = sorted(tuple(r) for r in _rank_topk(df, "source", 7, 1, "doc_id").collect())
+    guarded = stratified_sample(df, "source", k=7, seed=1, hot_threshold=100, safety=4.0)
+    assert sorted(tuple(r) for r in guarded.collect()) == naive
+    # evidence the guard engages: the prefix for the hot group keeps
+    # far fewer rows than the group itself (~safety*k out of 900)
+    thr = -(-4.0 * 7 * PRECISION // 900)  # ceil
+    kept = df.filter((F.col("source") == "hot") & (_sel_hash("doc_id", 1) < thr)).count()
+    assert 7 <= kept < 200, kept
+    df.unpersist()
+
+
+def test_stratified_shortfall_fallback_still_exact(spark):
+    """A pathologically small safety factor starves the prefix; the
+    in-plan shortfall check must re-rank the affected group from the
+    full data, keeping the output identical to the naive path."""
+    from motive_rdf_spark.operators.sampling import _rank_topk, stratified_sample
+
+    df = spark.range(600).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 500, "big").otherwise("small").alias("source"),
+    ).persist()
+    naive = sorted(tuple(r) for r in _rank_topk(df, "source", 10, 3, "doc_id").collect())
+    # safety≈0 → threshold ceil(~0.3) = 1 → prefix keeps ~500/1e6 ≈ 0
+    # rows → shortfall → full re-rank of the flagged group
+    starved = stratified_sample(
+        df, "source", k=10, seed=3, hot_threshold=100, safety=1e-4
+    )
+    assert sorted(tuple(r) for r in starved.collect()) == naive
+    df.unpersist()
+
+
 def test_redact_pii_email_pattern(spark):
     """Email redaction: exact replacement strings and counts, including
     multi-match rows and no-match rows."""
