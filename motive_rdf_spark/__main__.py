@@ -239,7 +239,11 @@ def synthetic(args, spark) -> None:
         max_time_s=float(args.max_time),
         seed=args.seed,
     )
-    state = SimAnnealing(graphs[focus], cfg, init_pattern=pat).run()
+    sa = SimAnnealing(graphs[focus], cfg, init_pattern=pat)
+    try:
+        state = sa.run()
+    finally:
+        sa.close()  # release the persisted per-graph degree frames
     motifs = by_score(state, args.topk)
 
     with open(os.path.join(args.output, "motifs.csv"), "w") as fm, open(

@@ -1200,7 +1200,10 @@ def motif_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     g.count()
     sa = SimAnnealing(g, SAConfig(iterations=4, seed=5), init_pattern=Pattern(pat))
-    state = sa.run()
+    try:
+        state = sa.run()
+    finally:
+        sa.close()  # release the persisted per-graph degree frames
     top = by_score(state, 1)[0]
     rows = [
         ("planted_support", find_count(g, Pattern(pat))),

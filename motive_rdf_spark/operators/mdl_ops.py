@@ -21,11 +21,38 @@ from motive_rdf_spark.operators.prune import instance_triples_df
 from motive_rdf_spark.patterns import Pattern, var_col
 
 
-def null_bits(triples: DataFrame, prior: Prior = Prior.ML) -> float:
+class GraphDegrees:
+    """Persisted per-position degree frames of ONE graph. They are
+    pattern-independent, so a search loop builds them once and every
+    ``score_motif`` call reuses them — previously each candidate
+    recomputed all three groupBys (3 shuffles per score). Re-persisting
+    an identical plan is a cache hit in Spark's CacheManager, so N
+    search chains over the same graph share one copy."""
+
+    def __init__(self, triples: DataFrame):
+        self.in_deg = deg.in_degrees(triples).persist()
+        self.out_deg = deg.out_degrees(triples).persist()
+        self.rel_deg = deg.rel_degrees(triples).persist()
+
+    def unpersist(self) -> None:
+        for d in (self.in_deg, self.out_deg, self.rel_deg):
+            d.unpersist()
+
+
+def null_bits(
+    triples: DataFrame, prior: Prior = Prior.ML, degs: GraphDegrees | None = None
+) -> float:
     """EdgeListModel.codelength(KGraph.degrees(data), prior) — the null
     model every motif competes against (RealWorld.java:62)."""
     n, m, r = deg.graph_dims(triples)
-    return edgelist_codelength(deg.degree_histograms(triples, n, r), prior)
+    if degs is None:
+        return edgelist_codelength(deg.degree_histograms(triples, n, r), prior)
+    hists = [
+        deg.degree_histogram(degs.in_deg, n),
+        deg.degree_histogram(degs.out_deg, n),
+        deg.degree_histogram(degs.rel_deg, r),
+    ]
+    return edgelist_codelength(hists, prior)
 
 
 def _hist_of(df: DataFrame, col: str) -> Hist:
@@ -34,7 +61,12 @@ def _hist_of(df: DataFrame, col: str) -> Hist:
 
 
 def template_degree_hists(
-    triples: DataFrame, pattern: Pattern, matches: DataFrame, n: int, r: int
+    triples: DataFrame,
+    pattern: Pattern,
+    matches: DataFrame,
+    n: int,
+    r: int,
+    degs: GraphDegrees | None = None,
 ) -> list[Hist]:
     """Graph degree histograms after subtracting the degree contribution
     of all instance triples, duplicates preserved (MotifCode.java:100-126:
@@ -42,8 +74,12 @@ def template_degree_hists(
 
     Spark shape: instance triples (projection-only explode of matches) →
     per-id counts → full outer join with the graph's per-id degrees →
-    subtract → histogram. One shuffle per position.
+    subtract → histogram. One shuffle per position; the three positions
+    are independent Spark actions and run concurrently from driver
+    threads (the scheduler interleaves their tiny stages).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     inst = instance_triples_df(pattern, matches).select("s", "p", "o")
 
     def tmpl_hist(graph_deg: DataFrame, key: str, inst_col: str, space: int) -> Hist:
@@ -57,11 +93,16 @@ def template_degree_hists(
             h[0] = h.get(0, 0) + (space - covered)
         return h
 
-    return [
-        tmpl_hist(deg.in_degrees(triples), "node", "o", n),
-        tmpl_hist(deg.out_degrees(triples), "node", "s", n),
-        tmpl_hist(deg.rel_degrees(triples), "rel", "p", r),
+    in_deg = degs.in_deg if degs else deg.in_degrees(triples)
+    out_deg = degs.out_deg if degs else deg.out_degrees(triples)
+    rel_deg = degs.rel_deg if degs else deg.rel_degrees(triples)
+    jobs = [
+        (in_deg, "node", "o", n),
+        (out_deg, "node", "s", n),
+        (rel_deg, "rel", "p", r),
     ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        return list(pool.map(lambda a: tmpl_hist(*a), jobs))
 
 
 def variable_freq_hists(
@@ -72,14 +113,19 @@ def variable_freq_hists(
     how often each bound value occurs across matches, collected as
     {frequency -> #values}. Node variables range over [0,n), predicate
     variables over [0,r)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     node_vars = set(pattern.node_vars)
-    out: dict[int, tuple[Hist, int]] = {}
-    for v in pattern.variables:
-        col = var_col(v)
-        freq = matches.groupBy(col).agg(F.count("*").alias("f"))
-        fh = _hist_of(freq, "f")
-        out[v] = (fh, n if v in node_vars else r)
-    return out
+
+    def one(v: int) -> tuple[int, tuple[Hist, int]]:
+        freq = matches.groupBy(var_col(v)).agg(F.count("*").alias("f"))
+        return v, (_hist_of(freq, "f"), n if v in node_vars else r)
+
+    vs = list(pattern.variables)
+    if not vs:
+        return {}
+    with ThreadPoolExecutor(max_workers=min(len(vs), 6)) as pool:
+        return dict(pool.map(one, vs))
 
 
 def score_motif(
@@ -90,10 +136,19 @@ def score_motif(
     m: int,
     r: int,
     fast_py: bool = True,
+    degs: GraphDegrees | None = None,
 ) -> MotifScore:
     """Full MotifCode.codelength pipeline over DataFrames. ``pruned_matches``
-    must already be overlap-pruned (operators/prune.py)."""
-    k = pruned_matches.count()
-    tmpl = template_degree_hists(triples, pattern, pruned_matches, n, r)
-    var_h = variable_freq_hists(pattern, pruned_matches, n, r)
+    must already be overlap-pruned (operators/prune.py). The count,
+    template hists, and variable hists are independent actions over the
+    (persisted) match set, so they run concurrently."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_k = pool.submit(pruned_matches.count)
+        f_tmpl = pool.submit(
+            template_degree_hists, triples, pattern, pruned_matches, n, r, degs
+        )
+        f_var = pool.submit(variable_freq_hists, pattern, pruned_matches, n, r)
+        k, tmpl, var_h = f_k.result(), f_tmpl.result(), f_var.result()
     return motif_codelength(tmpl, n, m, r, pattern, var_h, k, fast_py)

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, functions as F
 from motive_rdf_spark.canon import canonical_key
 from motive_rdf_spark.operators import degrees as deg
 from motive_rdf_spark.operators.bgp import find, find_budgeted
-from motive_rdf_spark.operators.mdl_ops import null_bits, score_motif
+from motive_rdf_spark.operators.mdl_ops import GraphDegrees, null_bits, score_motif
 from motive_rdf_spark.operators.prune import prune_matches, prune_matches_df
 from motive_rdf_spark.patterns import Pattern, renumber
 
@@ -115,7 +115,15 @@ class SimAnnealing:
             self._match_src = triples
         self.triples = triples
         n, m, r = deg.graph_dims(triples)
-        self.state = SAState(null_bits=null_bits(triples), n=n, m=m, r=r)
+        # per-run caches: graph degree frames are pattern-independent
+        # (one persisted copy shared across chains via the CacheManager);
+        # sampled match/incident rows are memoized per canonical pattern /
+        # anchor node — re-collecting `limit(sample_rows)` of the same
+        # deterministic plan re-ran the same job every revisit
+        self._degs = GraphDegrees(triples)
+        self._sample_cache: dict[tuple, list] = {}
+        self._inc_cache: dict[int, list] = {}
+        self.state = SAState(null_bits=null_bits(triples, degs=self._degs), n=n, m=m, r=r)
         # default start: a random triple with its object made a variable
         # (SimAnnealing.java:146-152); callers may seed a warm start
         self.pattern = init_pattern or self._init_pattern()
@@ -157,7 +165,9 @@ class SimAnnealing:
                     )
                 else:
                     pruned = prune_matches_df(pattern, matches)
-                sc = score_motif(self.triples, pattern, pruned, st.n, st.m, st.r)
+                sc = score_motif(
+                    self.triples, pattern, pruned, st.n, st.m, st.r, degs=self._degs
+                )
                 freq = len(kept) if k <= self.cfg.driver_prune_threshold else pruned.count()
                 result = (sc.total, freq)
         finally:
@@ -184,7 +194,16 @@ class SimAnnealing:
     # -- sampling helpers -------------------------------------------------
 
     def _sample_match(self, pattern: Pattern) -> list[int] | None:
-        rows = find(self._match_src, pattern).limit(self.cfg.sample_rows).collect()
+        # exact edge tuple, NOT canonical_key: an isomorphic pattern with
+        # different variable numbering binds columns in a different order
+        key = tuple(pattern.edges)
+        rows = self._sample_cache.get(key)
+        if rows is None:
+            rows = find(self._match_src, pattern).limit(self.cfg.sample_rows).collect()
+            # memoizing is behavior-preserving: the limit() plan is
+            # deterministic per pattern, so a revisit re-collected the
+            # same rows anyway; only the rng.choice varies per call
+            self._sample_cache[key] = rows
         if not rows:
             return None
         return list(self.rng.choice(rows))
@@ -200,11 +219,15 @@ class SimAnnealing:
         inst = p.triples(vals)
         nodes = {t for s, _, o in inst for t in (s, o)}
         node = self.rng.choice(sorted(nodes))
-        inc = (
-            self.triples.filter((F.col("s") == node) | (F.col("o") == node))
-            .limit(self.cfg.sample_rows)
-            .collect()
-        )
+        inc = self._inc_cache.get(node)
+        if inc is None:
+            inc = (
+                self.triples.filter((F.col("s") == node) | (F.col("o") == node))
+                .limit(self.cfg.sample_rows)
+                .collect()
+            )
+            if len(self._inc_cache) < 100_000:  # bound driver memory
+                self._inc_cache[node] = inc
         inc = [t for t in inc if (int(t["s"]), int(t["p"]), int(t["o"])) not in inst]
         if not inc:
             return None
@@ -316,6 +339,12 @@ class SimAnnealing:
             self.iterate()
         return self.state
 
+    def close(self) -> None:
+        """Release the persisted degree frames. Not called from run():
+        parallel chains share one cached copy (same plan), so the owner
+        of the last chain must close — sa_parallel does."""
+        self._degs.unpersist()
+
 
 def by_score(state: SAState, k: int) -> list[MotifResult]:
     """Top-k motifs by codelength ascending (SimAnnealing.byScore)."""
@@ -347,6 +376,8 @@ def sa_parallel(
     own_store = not isinstance(triples, GraphStore)
     src = GraphStore(triples) if own_store else triples
 
+    sas: list[SimAnnealing] = []
+
     def run_chain(i: int) -> SAState:
         cfg = SAConfig(
             iterations=base.iterations,
@@ -358,12 +389,18 @@ def sa_parallel(
             retain=base.retain,
             seed=None if base.seed is None else base.seed + i,
         )
-        return SimAnnealing(src, cfg, init_pattern=init_pattern).run()
+        sa = SimAnnealing(src, cfg, init_pattern=init_pattern)
+        sas.append(sa)
+        return sa.run()
 
     try:
         with ThreadPoolExecutor(max_workers=chains) as pool:
             states = list(pool.map(run_chain, range(chains)))
     finally:
+        # all chains done: the degree-frame cache entry is shared (same
+        # plan), so closing once after the barrier is safe
+        for sa in sas[:1]:
+            sa.close()
         if own_store:
             src.unpersist()
 

@@ -64,6 +64,8 @@ class _TransitionHelper(SimAnnealing):
         self.rng = rng
         self.triples = triples
         self._match_src = triples  # sampling via find() (see SimAnnealing)
+        self._sample_cache = {}
+        self._inc_cache = {}
         # state/score intentionally not initialized: only transitions
         # (_t_*) and sampling helpers are used
 

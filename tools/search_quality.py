@@ -1,0 +1,366 @@
+"""Search-quality P/R on *discovered* motif sets (VERDICT r3 item 7).
+
+PR_REPORT.md already proves support-count and golden-motif fidelity;
+the residual SURVEY §7.3.1 risk is score-*ranking* fidelity under
+search: does fixed-seed simulated annealing surface the same motifs
+the reference's published run surfaced?  This harness:
+
+1. parses the reference supplement's "AIFB, top 100 by log factor"
+   and "Mutag, top 100 by log factor" tables straight out of
+   `/root/reference/supplement.pdf` (zlib content streams -> Tj/TJ
+   text operators -> table rows; nothing is copied into the repo,
+   the golden tables stay in the reference artifact);
+2. encodes each published motif against OUR dictionaries
+   (sources/hdt.encode_hdt_graph ids) and canonicalizes it
+   (canon.canonical_key) so comparison is by graph isomorphism
+   class, not by variable numbering;
+3. runs fixed-seed SA (sa_parallel; >= 50k total iterations per
+   dataset) on aifb.complete.hdt and mutag.complete.hdt;
+4. reports, per dataset:
+     - overlap25: fraction of OUR top-25-by-score motifs whose
+       canonical form appears anywhere in the supplement's top-100
+       table (bar: >= 0.8);
+     - support parity: for every overlapping row, our deterministic
+       find().count() vs the table's frequency column (the known
+       AIFB ?n1 ?p3 ?n2 / ?n2 ?p4 ?n1 truncation artifact - 7,549
+       published vs 11,794 full, tests/test_hdt.py docstring - is
+       pinned as the single allowed exception);
+5. appends/updates the "SA-discovered motif ranking" axes in
+   PR_REPORT.md and exits non-zero below the bar.
+
+Run:  python tools/search_quality.py [--iterations N] [--chains C]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+import time
+import zlib
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SUPPLEMENT = "/root/reference/supplement.pdf"
+DATA = "/root/reference/src/main/resources/data"
+
+# namespace table for the supplement's printed prefixes (Pref.java:12-43
+# plus the dataset-local namespaces the reference binds in its fixtures)
+NS = {
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl": "http://www.w3.org/2002/07/owl#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "dc": "http://purl.org/dc/elements/1.1/",
+    "swrs": "http://swrc.ontoware.org/ontology#",
+    "swc": "http://data.semanticweb.org/ns/swc/ontology#",
+    "mtg": "http://dl-learner.org/carcinogenesis#",
+    "aifb": "http://www.aifb.uni-karlsruhe.de",
+}
+
+# the one published frequency that is NOT a graph invariant: the
+# reference's wall-clock-budgeted matcher truncated enumeration of the
+# all-variable reciprocal pattern mid-run (supplement AIFB row 1;
+# analysis in tests/test_hdt.py module docstring)
+KNOWN_TRUNCATION = {("aifb", 7549): 11794}
+
+
+# -- supplement table extraction --------------------------------------
+
+
+def pdf_text_lines(path: str) -> list[str]:
+    """Text show-operator strings from every FlateDecode content
+    stream, in document order (enough structure for these tables:
+    one Tj/TJ per visual line)."""
+    data = open(path, "rb").read()
+    lines: list[str] = []
+    for m in re.finditer(rb"stream\r?\n(.*?)endstream", data, re.S):
+        try:
+            raw = zlib.decompress(m.group(1)).decode("latin-1")
+        except zlib.error:
+            continue
+        for tm in re.finditer(r"\[(.*?)\]\s*TJ|\((.*?)\)\s*Tj", raw, re.S):
+            if tm.group(1) is not None:
+                parts = re.findall(r"\((.*?)(?<!\\)\)", tm.group(1), re.S)
+                lines.append("".join(parts))
+            else:
+                lines.append(tm.group(2))
+    return lines
+
+
+_SCORE = re.compile(r"^(-?\d+\.\d)(\d+)$")  # logfactor (1 decimal) ++ freq
+# table-tail rows (negative log factors) lose their line breaks in
+# extraction; an inline score token is only a row boundary right after
+# an edge-terminating '.'
+_INLINE_SCORE = re.compile(r"(?<=\.)(-?\d+\.\d)(\d{2,})")
+_HEADER = re.compile(r"^(Dogfood|AIFB|Mutag),top100by(logfactor|frequency)$")
+# a term is a variable, a typed literal ("false"^^<...> prints as
+# "false"|...>), or a prefixed IRI
+_LITERAL = re.compile(r'"[^"]*"\|[^?]*?>')
+_TOKEN = re.compile(
+    r'\?[np]\d+|"[^"]*"\|[^?]*?>|(?:%s):'
+    % "|".join(sorted(NS, key=len, reverse=True))
+)
+
+
+def parse_tables(lines: list[str]) -> dict[tuple[str, str], list[dict]]:
+    """{(dataset, ordering): [{logfactor, freq, edges=[(s,p,o) str]}]}.
+
+    The extractor loses spaces, so each entry is a standalone
+    score line ("178304.418634" = 178304.4 ++ 18634) followed by
+    pattern text whose edges end in '.'; tokens re-split on variable
+    markers (?n1/?p3) and known namespace prefixes."""
+    tables: dict[tuple[str, str], list[dict]] = {}
+    cur: list[dict] | None = None
+    buf: list[str] = []
+
+    def add_row(score: dict, text: str) -> None:
+        # literal terms contain dots (the datatype URL); protect them
+        # across the edge split
+        text = _LITERAL.sub(lambda m: m.group(0).replace(".", "\x00"), text)
+        edges = []
+        for edge_txt in filter(
+            None, (t.strip().replace("\x00", ".") for t in text.split("."))
+        ):
+            toks = tokenize(edge_txt)
+            if toks is not None:
+                edges.append(toks)
+            else:
+                edges = []
+                break
+        if edges:
+            cur.append({**score, "edges": edges})
+
+    def flush_entry() -> None:
+        nonlocal buf
+        if cur is None or not buf or "score" not in buf[0]:
+            buf = []
+            return
+        score = buf[0]["score"]
+        text = "".join(b for b in buf[1:] if isinstance(b, str))
+        # negative-logfactor tail rows arrive glued to this entry; peel
+        # them apart at inline score boundaries
+        pieces = _INLINE_SCORE.split(text)
+        add_row(score, pieces[0])
+        for lf, fq, seg in zip(pieces[1::3], pieces[2::3], pieces[3::3]):
+            add_row({"logfactor": float(lf), "freq": int(fq)}, seg)
+        buf = []
+
+    for ln in lines:
+        h = _HEADER.match(ln)
+        if h:
+            flush_entry()
+            cur = tables.setdefault((h.group(1).lower(), h.group(2)), [])
+            continue
+        if cur is None:
+            continue
+        if ln == "logfactorfrequency" or re.fullmatch(r"\d{1,2}", ln):
+            continue  # repeated page header / page number
+        s = _SCORE.match(ln)
+        if s:
+            flush_entry()
+            buf = [{"score": {"logfactor": float(s.group(1)), "freq": int(s.group(2))}}]
+        elif buf:
+            buf.append(ln)
+    flush_entry()
+    return tables
+
+
+def tokenize(edge_txt: str) -> tuple[str, str, str] | None:
+    """'?n2rdf:typemtg:Bond-1' -> ('?n2', 'rdf:type', 'mtg:Bond-1').
+    Token starts: a variable marker or a known prefix; each token runs
+    to the next start. None when the edge doesn't split into 3."""
+    starts = [m.start() for m in _TOKEN.finditer(edge_txt)]
+    if not starts or starts[0] != 0:
+        return None
+    toks = [
+        edge_txt[a:b] for a, b in zip(starts, starts[1:] + [len(edge_txt)])
+    ]
+    return tuple(toks) if len(toks) == 3 else None
+
+
+# -- encoding a published motif against OUR ids -----------------------
+
+
+def expand_iri(tok: str) -> str:
+    if tok.startswith('"'):
+        # '"false"|http://...XMLSchemaboolean>' is the extraction of the
+        # typed literal '"false"^^<http://...XMLSchema#boolean>'
+        m = re.match(r'"([^"]*)"\|(.*)>$', tok)
+        url = m.group(2)
+        if "#" not in url:
+            url = url.replace("XMLSchema", "XMLSchema#")
+        return f'"{m.group(1)}"^^<{url}>'
+    px, local = tok.split(":", 1)
+    return NS[px] + local
+
+
+def encode_rows(rows, node_ids: dict[str, int], pred_ids: dict[str, int]):
+    """Attach `pattern` (our Pattern) and `key` (canonical form) to each
+    parsed table row; rows whose constants aren't in the graph
+    dictionary (extraction artifacts deep in the table) get key=None."""
+    from motive_rdf_spark.canon import canonical_key
+    from motive_rdf_spark.patterns import Pattern, renumber
+
+    out = []
+    for row in rows:
+        edges, ok = [], True
+        for s, p, o in row["edges"]:
+            try:
+                es = -int(s[2:]) if s.startswith("?n") else node_ids[expand_iri(s)]
+                ep = -int(p[2:]) if p.startswith("?p") else pred_ids[expand_iri(p)]
+                eo = -int(o[2:]) if o.startswith("?n") else node_ids[expand_iri(o)]
+            except (KeyError, ValueError):
+                ok = False
+                break
+            edges.append((es, ep, eo))
+        pat = renumber(edges) if ok else None
+        if pat is not None and not (pat.valid() and pat.variables):
+            pat = None
+        out.append({**row, "pattern": pat, "key": canonical_key(pat) if pat else None})
+    return out
+
+
+def dict_to_map(df) -> dict[str, int]:
+    return {r["term"]: int(r["id"]) for r in df.collect()}
+
+
+# -- the measurement ---------------------------------------------------
+
+
+def run_dataset(spark, name: str, hdt_path: str, iterations: int, chains: int,
+                seed: int, sample_rows: int, max_matches: int):
+    from motive_rdf_spark.operators.bgp import GraphStore, find
+    from motive_rdf_spark.search import SAConfig, by_score, sa_parallel
+    from motive_rdf_spark.sources.cache import cached_hdt_graph
+
+    triples, node_dict, pred_dict = cached_hdt_graph(spark, hdt_path)
+    node_ids, pred_ids = dict_to_map(node_dict), dict_to_map(pred_dict)
+
+    table = parse_tables(pdf_text_lines(SUPPLEMENT))[(name, "logfactor")]
+    table = encode_rows(table, node_ids, pred_ids)
+    parsed = [r for r in table if r["key"] is not None]
+    print(f"[{name}] supplement table: {len(table)} rows, {len(parsed)} encodable")
+    golden_keys = {r["key"]: r for r in parsed}
+
+    t0 = time.time()
+    store = GraphStore(triples)
+    try:
+        cfg = SAConfig(
+            iterations=iterations // chains,
+            seed=seed,
+            sample_rows=sample_rows,
+            max_matches=max_matches,
+            retain=200,
+        )
+        state = sa_parallel(store, chains=chains, config=cfg)
+        wall = time.time() - t0
+        top25 = by_score(state, 25)
+        print(
+            f"[{name}] SA done: {iterations} iters / {chains} chains in "
+            f"{wall:.0f}s; {len(state.results)} retained, "
+            f"{state.num_pos} beat null"
+        )
+
+        from motive_rdf_spark.canon import canonical_key
+
+        hits = [r for r in top25 if canonical_key(r.pattern) in golden_keys]
+        overlap = len(hits) / len(top25) if top25 else 0.0
+
+        # recall side: is each of the table's top-25 anywhere in our
+        # retained result set?
+        ours = {canonical_key(r.pattern) for r in state.results.values()}
+        gold25 = parsed[:25]
+        found = [r for r in gold25 if r["key"] in ours]
+        recall = len(found) / len(gold25) if gold25 else 0.0
+
+        # support parity on overlapping rows: OUR deterministic full
+        # match count vs the published frequency column
+        sup_ok, sup_bad = 0, []
+        for r in hits:
+            g = golden_keys[canonical_key(r.pattern)]
+            exp = KNOWN_TRUNCATION.get((name, g["freq"]), g["freq"])
+            got = find(store, r.pattern).count()
+            if got == exp:
+                sup_ok += 1
+            else:
+                sup_bad.append((g["edges"], got, g["freq"]))
+        for edges, got, want in sup_bad:
+            print(f"[{name}] SUPPORT MISMATCH {edges}: ours={got} table={want}")
+    finally:
+        store.unpersist()
+
+    return {
+        "dataset": name,
+        "iterations": iterations,
+        "chains": chains,
+        "wall_s": round(wall, 1),
+        "retained": len(state.results),
+        "overlap25": round(overlap, 4),
+        "table25_recall": round(recall, 4),
+        "supports_checked": len(hits),
+        "supports_exact": sup_ok,
+    }
+
+
+def update_pr_report(results: list[dict]) -> None:
+    path = os.path.join(REPO, "PR_REPORT.md")
+    text = open(path).read()
+    marker = "\n## SA-discovered motif ranking"
+    if marker in text:
+        text = text[: text.index(marker)]
+    lines = [
+        marker.strip(),
+        "",
+        "Fixed-seed SA (sa_parallel) vs the supplement's top-100-by-log-",
+        "factor tables, compared by canonical form (tools/search_quality.py;",
+        "bar: top-25 overlap >= 0.8, exact supports on overlapping rows).",
+        "",
+        "| dataset | iterations | top-25 overlap | table-top-25 recall | supports exact |",
+        "|---|---|---|---|---|",
+    ]
+    for r in results:
+        lines.append(
+            f"| {r['dataset']} | {r['iterations']} ({r['chains']} chains, "
+            f"{r['wall_s']}s) | {r['overlap25']:.2f} | {r['table25_recall']:.2f} "
+            f"| {r['supports_exact']}/{r['supports_checked']} |"
+        )
+    lines.append("")
+    open(path, "w").write(text.rstrip() + "\n\n" + "\n".join(lines))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iterations", type=int, default=50_000)
+    ap.add_argument("--chains", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--sample-rows", type=int, default=20)
+    ap.add_argument("--max-matches", type=int, default=200_000)
+    ap.add_argument("--datasets", default="aifb,mutag")
+    ap.add_argument("--no-report", action="store_true")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from motive_rdf_spark.session import get_spark
+
+    spark = get_spark()
+    results = []
+    for name in args.datasets.split(","):
+        results.append(
+            run_dataset(
+                spark, name, f"{DATA}/{name}.complete.hdt",
+                args.iterations, args.chains, args.seed,
+                args.sample_rows, args.max_matches,
+            )
+        )
+    for r in results:
+        print(r)
+    if not args.no_report:
+        update_pr_report(results)
+    bad = [r for r in results if r["overlap25"] < 0.8]
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
