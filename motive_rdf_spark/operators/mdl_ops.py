@@ -21,6 +21,12 @@ from motive_rdf_spark.operators.prune import instance_triples_df
 from motive_rdf_spark.patterns import Pattern, var_col
 
 
+#: driver-exact scoring densifies 3 int64 degree vectors; at the cap
+#: that is ~48 MB of driver heap. Graphs with larger id spaces always
+#: take the distributed histogram path.
+DRIVER_DEGREE_LIMIT = 2_000_000
+
+
 class GraphDegrees:
     """Persisted per-position degree frames of ONE graph. They are
     pattern-independent, so a search loop builds them once and every
@@ -33,6 +39,33 @@ class GraphDegrees:
         self.in_deg = deg.in_degrees(triples).persist()
         self.out_deg = deg.out_degrees(triples).persist()
         self.rel_deg = deg.rel_degrees(triples).persist()
+        self._np: tuple | None = None
+        self._np_refused = False
+
+    def driver_arrays(self, n: int, r: int) -> tuple | None:
+        """Dense (in, out, rel) numpy degree vectors for the driver-exact
+        scoring tier, or None when the id spaces exceed
+        DRIVER_DEGREE_LIMIT (the 100 TB case: stay distributed).
+        Collected once per graph and memoized."""
+        if self._np is not None:
+            return self._np
+        if self._np_refused or max(n, r) > DRIVER_DEGREE_LIMIT:
+            self._np_refused = True
+            return None
+        import numpy as np
+
+        def dense(df: DataFrame, key: str, space: int) -> "np.ndarray":
+            arr = np.zeros(space, dtype=np.int64)
+            for row in df.collect():
+                arr[int(row[key])] = int(row["deg"])
+            return arr
+
+        self._np = (
+            dense(self.in_deg, "node", n),
+            dense(self.out_deg, "node", n),
+            dense(self.rel_deg, "rel", r),
+        )
+        return self._np
 
     def unpersist(self) -> None:
         for d in (self.in_deg, self.out_deg, self.rel_deg):
@@ -52,6 +85,20 @@ def null_bits(
         deg.degree_histogram(degs.out_deg, n),
         deg.degree_histogram(degs.rel_deg, r),
     ]
+    return edgelist_codelength(hists, prior)
+
+
+def null_bits_arrays(degs_np: tuple, prior: Prior = Prior.ML) -> float:
+    """``null_bits`` from dense driver-side degree vectors (the
+    LocalGraph / driver-exact tier) — same histogram, zero Spark jobs.
+    The dense vectors already carry the implicit zeros that
+    deg.degree_histogram adds to the sparse collected form."""
+    import numpy as np
+
+    hists: list[Hist] = []
+    for arr in degs_np:
+        vals, cnts = np.unique(arr, return_counts=True)
+        hists.append({int(v): int(c) for v, c in zip(vals, cnts)})
     return edgelist_codelength(hists, prior)
 
 
@@ -151,4 +198,56 @@ def score_motif(
         )
         f_var = pool.submit(variable_freq_hists, pattern, pruned_matches, n, r)
         k, tmpl, var_h = f_k.result(), f_tmpl.result(), f_var.result()
+    return motif_codelength(tmpl, n, m, r, pattern, var_h, k, fast_py)
+
+
+def score_motif_rows(
+    pattern: Pattern,
+    rows: list[list[int]],
+    n: int,
+    m: int,
+    r: int,
+    degs_np: tuple,
+    fast_py: bool = True,
+) -> MotifScore:
+    """Driver-exact tier of ``score_motif``: identical arithmetic, zero
+    Spark jobs. Used by the search hot loop when the (already
+    overlap-pruned) matches live on the driver — the prune_matches
+    path, bounded by ``driver_prune_threshold`` rows — and the graph's
+    id spaces fit ``GraphDegrees.driver_arrays``. The histogram algebra
+    mirrors template_degree_hists/variable_freq_hists exactly: dense
+    degree vector minus instance-triple contribution, then
+    value-histogram (the Spark path's full-outer-join + implicit-zeros
+    logic is the sparse form of the same subtraction)."""
+    import numpy as np
+
+    in_arr, out_arr, rel_arr = degs_np
+    k = len(rows)
+    mat = np.asarray(rows, dtype=np.int64).reshape(k, pattern.num_vars)
+
+    def col(t: int) -> "np.ndarray":
+        # values[i] binds var -(i+1)  ->  var t < 0 is column -t-1
+        return mat[:, -t - 1] if t < 0 else np.full(k, t, dtype=np.int64)
+
+    s_parts = [col(s) for s, _, _ in pattern.edges]
+    p_parts = [col(p) for _, p, _ in pattern.edges]
+    o_parts = [col(o) for _, _, o in pattern.edges]
+    sub_out = np.bincount(np.concatenate(s_parts), minlength=n)
+    sub_rel = np.bincount(np.concatenate(p_parts), minlength=r)
+    sub_in = np.bincount(np.concatenate(o_parts), minlength=n)
+
+    def hist_of(arr: "np.ndarray") -> Hist:
+        vals, cnts = np.unique(arr, return_counts=True)
+        return {int(v): int(c) for v, c in zip(vals, cnts)}
+
+    tmpl = [
+        hist_of(in_arr - sub_in),
+        hist_of(out_arr - sub_out),
+        hist_of(rel_arr - sub_rel),
+    ]
+    node_vars = set(pattern.node_vars)
+    var_h: dict[int, tuple[Hist, int]] = {}
+    for i, v in enumerate(pattern.variables):
+        freqs = np.unique(mat[:, i], return_counts=True)[1]
+        var_h[v] = (hist_of(freqs), n if v in node_vars else r)
     return motif_codelength(tmpl, n, m, r, pattern, var_h, k, fast_py)

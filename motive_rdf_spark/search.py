@@ -34,14 +34,21 @@ should be ``persist()``-ed by the caller once and is only read.
 from __future__ import annotations
 
 import random
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, functions as F
 
 from motive_rdf_spark.canon import canonical_key
 from motive_rdf_spark.operators import degrees as deg
 from motive_rdf_spark.operators.bgp import find, find_budgeted
-from motive_rdf_spark.operators.mdl_ops import GraphDegrees, null_bits, score_motif
+from motive_rdf_spark.operators.localgraph import LOCAL_GRAPH_LIMIT, LocalGraph
+from motive_rdf_spark.operators.mdl_ops import (
+    GraphDegrees,
+    null_bits,
+    null_bits_arrays,
+    score_motif,
+    score_motif_rows,
+)
 from motive_rdf_spark.operators.prune import prune_matches, prune_matches_df
 from motive_rdf_spark.patterns import Pattern, renumber
 
@@ -79,6 +86,20 @@ class SAConfig:
     sample_rows: int = 20
     retain: int = 100  # MaxObserver RETAIN (MultiParallel.java:25)
     seed: int | None = None
+    # collect graphs up to LOCAL_GRAPH_LIMIT triples into an indexed
+    # driver-side table so each candidate evaluation is pure-Python
+    # (operators/localgraph.py); False forces the distributed matcher
+    local_graph: bool = True
+    # deterministic work budget for the LocalGraph matcher: cap on
+    # candidate-row attempts per match job. Plays the same role as
+    # max_time_s (the reference's Find.java:59-69 budget) but is
+    # load-independent, so fixed-seed searches reproduce exactly.
+    max_steps: int | None = None
+    # True = Prior.COMPLETE_FAST template coder; False = the exact
+    # Pitman-Yor COMPLETE coder the reference's experiments default to
+    # (Run.java:120 fastPY=false) — slower, used for ranking-fidelity
+    # measurements
+    fast_py: bool = True
 
 
 @dataclass
@@ -96,7 +117,7 @@ class SAState:
 class SimAnnealing:
     def __init__(
         self,
-        triples: DataFrame,
+        triples: DataFrame | LocalGraph,
         config: SAConfig | None = None,
         init_pattern: Pattern | None = None,
     ):
@@ -104,26 +125,45 @@ class SimAnnealing:
 
         self.cfg = config or SAConfig()
         self.rng = random.Random(self.cfg.seed)
-        # a GraphStore (pre-partitioned copies) speeds every match job in
-        # the hot loop; .triples stays the plain DataFrame for degree
-        # aggregations and sampling filters
-        self._match_src: DataFrame | GraphStore
-        if isinstance(triples, GraphStore):
-            self._match_src = triples
-            triples = triples.plain
-        else:
-            self._match_src = triples
-        self.triples = triples
-        n, m, r = deg.graph_dims(triples)
-        # per-run caches: graph degree frames are pattern-independent
-        # (one persisted copy shared across chains via the CacheManager);
-        # sampled match/incident rows are memoized per canonical pattern /
-        # anchor node — re-collecting `limit(sample_rows)` of the same
+        # per-run caches: sampled match/incident rows are memoized per
+        # exact pattern / anchor node — re-collecting the same
         # deterministic plan re-ran the same job every revisit
-        self._degs = GraphDegrees(triples)
         self._sample_cache: dict[tuple, list] = {}
         self._inc_cache: dict[int, list] = {}
-        self.state = SAState(null_bits=null_bits(triples, degs=self._degs), n=n, m=m, r=r)
+        # driver tier: small graphs are collected once into an indexed
+        # in-memory table (zero Spark jobs per candidate); above the cap
+        # the distributed matcher + persisted degree frames serve every
+        # candidate (operators/localgraph.py module docstring). A
+        # pre-built LocalGraph may be passed directly — the whole search
+        # then runs Spark-free (process-parallel via sa_parallel_local).
+        self._local: LocalGraph | None = None
+        self._degs: GraphDegrees | None = None
+        if isinstance(triples, LocalGraph):
+            self._local = triples
+            self.triples = None
+            self._match_src = None
+            n, m, r = triples.dims()
+        else:
+            # a GraphStore (pre-partitioned copies) speeds every match
+            # job in the hot loop; .triples stays the plain DataFrame
+            # for degree aggregations and sampling filters
+            self._match_src: DataFrame | GraphStore
+            if isinstance(triples, GraphStore):
+                self._match_src = triples
+                triples = triples.plain
+            else:
+                self._match_src = triples
+            self.triples = triples
+            n, m, r = deg.graph_dims(triples)
+            if self.cfg.local_graph and m <= LOCAL_GRAPH_LIMIT:
+                self._local = LocalGraph.from_df(triples)
+        if self._local is not None:
+            self._local_degs = self._local.degree_arrays(n, r)
+            nb = null_bits_arrays(self._local_degs)
+        else:
+            self._degs = GraphDegrees(triples)
+            nb = null_bits(triples, degs=self._degs)
+        self.state = SAState(null_bits=nb, n=n, m=m, r=r)
         # default start: a random triple with its object made a variable
         # (SimAnnealing.java:146-152); callers may seed a warm start
         self.pattern = init_pattern or self._init_pattern()
@@ -136,6 +176,9 @@ class SimAnnealing:
         st = self.state
         if key in st.score_cache:
             return st.score_cache[key]
+        if self._local is not None:
+            result = self._score_local(pattern)
+            return self._record(key, pattern, result)
         if self.cfg.max_time_s is not None:
             bm = find_budgeted(
                 self._match_src, pattern, self.cfg.max_time_s, self.cfg.max_matches
@@ -150,28 +193,46 @@ class SimAnnealing:
         # (it was previously re-executed per action — VERDICT r1 item 5)
         matches = matched.limit(self.cfg.max_matches).persist()
         try:
-            k = matches.count()
-            if k == 0:
+            # probe the driver tier first: one collect of at most
+            # threshold+1 rows decides the path AND delivers the rows,
+            # eliding the separate count job for the (common) small case
+            probe = matches.limit(self.cfg.driver_prune_threshold + 1).collect()
+            if not probe:
                 result = (float("inf"), 0)
-            else:
-                if k <= self.cfg.driver_prune_threshold:
-                    rows = [list(r) for r in matches.collect()]
-                    rows.sort()
-                    kept = prune_matches(pattern, rows)
+            elif len(probe) <= self.cfg.driver_prune_threshold:
+                rows = [list(r) for r in probe]
+                rows.sort()
+                kept = prune_matches(pattern, rows)
+                degs_np = self._degs.driver_arrays(st.n, st.r)
+                if degs_np is not None:
+                    # driver-exact scoring: zero Spark jobs per candidate
+                    sc = score_motif_rows(
+                        pattern, kept, st.n, st.m, st.r, degs_np
+                    )
+                else:
                     spark = self.triples.sparkSession
                     cols = [f"v{i + 1}" for i in range(pattern.num_vars)]
                     pruned = spark.createDataFrame(
                         [tuple(x) for x in kept], ", ".join(f"{c} long" for c in cols)
                     )
-                else:
-                    pruned = prune_matches_df(pattern, matches)
+                    sc = score_motif(
+                        self.triples, pattern, pruned, st.n, st.m, st.r,
+                        fast_py=self.cfg.fast_py, degs=self._degs,
+                    )
+                result = (sc.total, len(kept))
+            else:
+                pruned = prune_matches_df(pattern, matches)
                 sc = score_motif(
-                    self.triples, pattern, pruned, st.n, st.m, st.r, degs=self._degs
+                    self.triples, pattern, pruned, st.n, st.m, st.r,
+                    fast_py=self.cfg.fast_py, degs=self._degs,
                 )
-                freq = len(kept) if k <= self.cfg.driver_prune_threshold else pruned.count()
-                result = (sc.total, freq)
+                result = (sc.total, pruned.count())
         finally:
             matches.unpersist()
+        return self._record(key, pattern, result)
+
+    def _record(self, key: tuple, pattern: Pattern, result: tuple[float, int]):
+        st = self.state
         st.score_cache[key] = result
         if result[0] < st.null_bits:
             st.num_pos += 1
@@ -181,9 +242,44 @@ class SimAnnealing:
                 del st.results[worst]
         return result
 
+    def _score_local(self, pattern: Pattern) -> tuple[float, int]:
+        """Driver-tier candidate evaluation: LocalGraph match ->
+        prune_matches -> score_motif_rows, no Spark involvement. Same
+        row budget (max_matches) and wall-clock budget (max_time_s ->
+        partial matches + timed_out metric) as the distributed path."""
+        import time as _time
+
+        st = self.state
+        deadline = (
+            _time.monotonic() + self.cfg.max_time_s
+            if self.cfg.max_time_s is not None
+            else None
+        )
+        rows, timed_out = self._local.find_rows(
+            pattern,
+            max_rows=self.cfg.max_matches,
+            deadline=deadline,
+            max_steps=self.cfg.max_steps,
+        )
+        if timed_out:
+            st.timed_out_count += 1
+        if not rows:
+            return (float("inf"), 0)
+        rows.sort()
+        kept = prune_matches(pattern, rows)
+        sc = score_motif_rows(
+            pattern, kept, st.n, st.m, st.r, self._local_degs,
+            fast_py=self.cfg.fast_py,
+        )
+        return (sc.total, len(kept))
+
     # -- initialization (SimAnnealing.java:146-152) ----------------------
 
     def _init_pattern(self) -> Pattern:
+        if self.triples is None:  # pure-local mode: no Spark session
+            g = self._local
+            i = self.rng.randrange(g.m)
+            return Pattern([(int(g.S[i]), int(g.P[i]), -1)])
         row = (
             self.triples.orderBy(F.xxhash64("s", "p", "o", F.lit(self.rng.getrandbits(31))))
             .limit(1)
@@ -199,10 +295,29 @@ class SimAnnealing:
         key = tuple(pattern.edges)
         rows = self._sample_cache.get(key)
         if rows is None:
-            rows = find(self._match_src, pattern).limit(self.cfg.sample_rows).collect()
-            # memoizing is behavior-preserving: the limit() plan is
-            # deterministic per pattern, so a revisit re-collected the
-            # same rows anyway; only the rng.choice varies per call
+            if self._local is not None:
+                # budget the sampling enumeration too: a pathological
+                # accepted pattern (alpha accepts regardless of score)
+                # must not stall the loop hunting for its 20th match
+                import time as _time
+
+                budget = self.cfg.max_time_s or 5.0
+                rows, _ = self._local.find_rows(
+                    pattern,
+                    max_rows=self.cfg.sample_rows,
+                    deadline=_time.monotonic() + budget,
+                    max_steps=self.cfg.max_steps,
+                )
+            else:
+                rows = (
+                    find(self._match_src, pattern)
+                    .limit(self.cfg.sample_rows)
+                    .collect()
+                )
+            # memoizing is behavior-preserving: both the limit() plan
+            # and the local enumeration order are deterministic per
+            # pattern, so a revisit re-collected the same rows anyway;
+            # only the rng.choice varies per call
             self._sample_cache[key] = rows
         if not rows:
             return None
@@ -221,18 +336,23 @@ class SimAnnealing:
         node = self.rng.choice(sorted(nodes))
         inc = self._inc_cache.get(node)
         if inc is None:
-            inc = (
-                self.triples.filter((F.col("s") == node) | (F.col("o") == node))
-                .limit(self.cfg.sample_rows)
-                .collect()
-            )
+            if self._local is not None:
+                inc = self._local.incident(node, self.cfg.sample_rows)
+            else:
+                inc = [
+                    (int(t["s"]), int(t["p"]), int(t["o"]))
+                    for t in self.triples.filter(
+                        (F.col("s") == node) | (F.col("o") == node)
+                    )
+                    .limit(self.cfg.sample_rows)
+                    .collect()
+                ]
             if len(self._inc_cache) < 100_000:  # bound driver memory
                 self._inc_cache[node] = inc
-        inc = [t for t in inc if (int(t["s"]), int(t["p"]), int(t["o"])) not in inst]
+        inc = [t for t in inc if t not in inst]
         if not inc:
             return None
-        t = self.rng.choice(inc)
-        s_, p_, o_ = int(t["s"]), int(t["p"]), int(t["o"])
+        s_, p_, o_ = self.rng.choice(inc)
         # map the anchor node back to its pattern term; fresh var for the
         # other endpoint (the reference's EXTEND keeps the anchor term —
         # constant or variable — and only the new endpoint becomes a
@@ -340,10 +460,12 @@ class SimAnnealing:
         return self.state
 
     def close(self) -> None:
-        """Release the persisted degree frames. Not called from run():
-        parallel chains share one cached copy (same plan), so the owner
-        of the last chain must close — sa_parallel does."""
-        self._degs.unpersist()
+        """Release the persisted degree frames (distributed tier only;
+        the LocalGraph tier holds no Spark state). Not called from
+        run(): parallel chains share one cached copy (same plan), so
+        the owner of the last chain must close — sa_parallel does."""
+        if self._degs is not None:
+            self._degs.unpersist()
 
 
 def by_score(state: SAState, k: int) -> list[MotifResult]:
@@ -379,16 +501,7 @@ def sa_parallel(
     sas: list[SimAnnealing] = []
 
     def run_chain(i: int) -> SAState:
-        cfg = SAConfig(
-            iterations=base.iterations,
-            alpha=base.alpha,
-            max_matches=base.max_matches,
-            max_time_s=base.max_time_s,
-            driver_prune_threshold=base.driver_prune_threshold,
-            sample_rows=base.sample_rows,
-            retain=base.retain,
-            seed=None if base.seed is None else base.seed + i,
-        )
+        cfg = replace(base, seed=None if base.seed is None else base.seed + i)
         sa = SimAnnealing(src, cfg, init_pattern=init_pattern)
         sas.append(sa)
         return sa.run()
@@ -404,6 +517,12 @@ def sa_parallel(
         if own_store:
             src.unpersist()
 
+    return _merge_states(states)
+
+
+def _merge_states(states: list[SAState]) -> SAState:
+    """Min-score-wins merge per canonical pattern (SAParallel.register,
+    SAParallel.java:111-127)."""
     merged = states[0]
     for st in states[1:]:
         merged.num_pos += st.num_pos
@@ -412,3 +531,46 @@ def sa_parallel(
             if key not in merged.results or res.score < merged.results[key].score:
                 merged.results[key] = res
     return merged
+
+
+# -- process-parallel chains over a LocalGraph -------------------------
+
+_LOCAL_CHAIN_ARGS: tuple | None = None
+
+
+def _local_chain_worker(i: int) -> SAState:
+    graph, base, init_pattern = _LOCAL_CHAIN_ARGS
+    cfg = replace(base, seed=None if base.seed is None else base.seed + i)
+    sa = SimAnnealing(graph, cfg, init_pattern=init_pattern)
+    state = sa.run()
+    # the score memo can hold tens of thousands of entries; the merge
+    # only needs results/num_pos/timed_out — don't pickle it back
+    state.score_cache = {}
+    return state
+
+
+def sa_parallel_local(
+    graph: "LocalGraph",
+    chains: int = 8,
+    config: SAConfig | None = None,
+    init_pattern: Pattern | None = None,
+) -> SAState:
+    """N independent chains as forked processes over one shared
+    in-memory graph (copy-on-write: the arrays and indexes are built
+    once and never copied). The LocalGraph tier is pure Python and
+    therefore GIL-bound — ``sa_parallel``'s driver THREADS parallelize
+    Spark jobs, not Python loops, so pure-local chains need processes.
+    Chains never touch Spark (SimAnnealing in LocalGraph mode runs
+    Spark-free), making the fork safe with an active session."""
+    import multiprocessing as mp
+
+    global _LOCAL_CHAIN_ARGS
+    base = config or SAConfig()
+    _LOCAL_CHAIN_ARGS = (graph, base, init_pattern)
+    try:
+        ctx = mp.get_context("fork")
+        with ctx.Pool(chains) as pool:
+            states = pool.map(_local_chain_worker, range(chains))
+    finally:
+        _LOCAL_CHAIN_ARGS = None
+    return _merge_states(states)

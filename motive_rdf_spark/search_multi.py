@@ -66,6 +66,7 @@ class _TransitionHelper(SimAnnealing):
         self._match_src = triples  # sampling via find() (see SimAnnealing)
         self._sample_cache = {}
         self._inc_cache = {}
+        self._local = None  # multi-search samples via the Spark matcher
         # state/score intentionally not initialized: only transitions
         # (_t_*) and sampling helpers are used
 

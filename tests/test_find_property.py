@@ -106,3 +106,63 @@ def test_find_matches_bruteforce(spark, pat, seed):
         return
     got = sorted(tuple(r) for r in find(df, pat).collect())
     assert got == expected
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(pat=patterns(), seed=st.integers(0, 10**6))
+def test_localgraph_matches_bruteforce(pat, seed):
+    """The driver-tier matcher (operators/localgraph.py, used by the
+    search hot loop on small graphs) must satisfy the same
+    brute-force-validated contract as the distributed matcher —
+    including the tid-multiset duplicates from distinct triple
+    combinations. No Spark needed, so this runs many more examples."""
+    import numpy as np
+
+    from motive_rdf_spark.operators.localgraph import LocalGraph
+
+    rng = random.Random(seed)
+    raw = [
+        (rng.randrange(6), rng.randrange(3), rng.randrange(6))
+        for _ in range(rng.randint(8, 25))
+    ]
+    triples = sorted(set(raw))
+    lg = LocalGraph(
+        np.array([t[0] for t in triples]),
+        np.array([t[1] for t in triples]),
+        np.array([t[2] for t in triples]),
+    )
+    expected = _brute_find(triples, pat)
+    if not pat.variables:
+        return  # the search loop never scores fully grounded patterns
+    rows, timed_out = lg.find_rows(pat)
+    assert not timed_out
+    assert sorted(tuple(r) for r in rows) == expected
+
+
+def test_localgraph_budget_and_cap():
+    import numpy as np
+
+    from motive_rdf_spark.operators.localgraph import LocalGraph
+    from motive_rdf_spark.patterns import Pattern
+
+    triples = [(i, 0, (i + 1) % 50) for i in range(50)]
+    lg = LocalGraph(
+        np.array([t[0] for t in triples]),
+        np.array([t[1] for t in triples]),
+        np.array([t[2] for t in triples]),
+    )
+    pat = Pattern([(-1, 0, -2)])
+    full, _ = lg.find_rows(pat)
+    assert len(full) == 50
+    capped, timed_out = lg.find_rows(pat, max_rows=7)
+    assert len(capped) == 7 and not timed_out
+    assert [tuple(r) for r in capped] == [tuple(r) for r in full[:7]]
+    partial, timed_out = lg.find_rows(pat, deadline=0.0)
+    assert timed_out and partial == []
+    # incident pool: every triple touching node 3 (as s or o)
+    inc = lg.incident(3, cap=10)
+    assert set(inc) == {(3, 0, 4), (2, 0, 3)}

@@ -178,3 +178,37 @@ def test_prune_distributed_long_chain_fallback(spark):
     # and the pure fixpoint (enough rounds) agrees too
     full = sorted([list(r) for r in prune_matches_df(pat, matches, max_rounds=200).collect()])
     assert full == sorted(drv)
+
+
+def test_driver_exact_scoring_equals_distributed(spark):
+    """score_motif_rows (zero-Spark-job tier used by the search hot
+    loop) must produce the exact histograms and total of the
+    distributed score_motif path — same rows, same graph, two
+    patterns (one with a predicate variable)."""
+    from motive_rdf_spark.operators.mdl_ops import (
+        GraphDegrees,
+        score_motif,
+        score_motif_rows,
+    )
+
+    g = planted_graph(spark, 300, 700, 5, TRIANGLE, 30, seed=11).cache()
+    gn, gm, gr = deg.graph_dims(g)
+    degs = GraphDegrees(g)
+    try:
+        for edges in (TRIANGLE, [(-1, -3, -2), (-2, 1, -1)]):
+            pat = Pattern(edges)
+            matches = find(g, pat)
+            kept = prune_matches(pat, sorted([list(x) for x in matches.collect()]))
+            if not kept:
+                continue
+            kept_df = spark.createDataFrame(
+                kept, ", ".join(f"v{i+1} long" for i in range(pat.num_vars))
+            )
+            dist = score_motif(g, pat, kept_df, gn, gm, gr, degs=degs)
+            drv = score_motif_rows(
+                pat, kept, gn, gm, gr, degs.driver_arrays(gn, gr)
+            )
+            assert drv.total == pytest.approx(dist.total, abs=1e-9), (edges, drv, dist)
+    finally:
+        degs.unpersist()
+        g.unpersist()
