@@ -80,9 +80,11 @@ class GraphStore:
     ``keep_plain=False`` drops the third, un-partitioned copy and
     serves plain scans (degree aggregations, probes, counts) from the
     s-partitioned copy — same rows, and ``groupBy("s")`` degree scans
-    then skip their exchange too. Budget: 2×|G| encoded (≈2 × n_triples
-    × 32 B) instead of 3×|G|; at 72M triples measured 2.6 GiB vs
-    3.9 GiB peak storage (BENCH/BASELINE.md §storage)."""
+    then skip their exchange too. Budget: 2×|G| encoded instead of
+    3×|G| (~15.6 B/triple per copy columnar); at 69M triples measured
+    1.99 GiB vs 3.02 GiB persisted, identical answers on both query
+    classes and faster on both (BENCH/BASELINE.md "GraphStore
+    storage")."""
 
     def __init__(
         self,

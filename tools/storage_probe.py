@@ -54,27 +54,32 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     pat_edges = [(-1, 0, -2), (-1, 1, -3), (-2, 2, -3)]
+    # raw (un-prepared) input: GraphStore only persists the plain copy
+    # when IT derives the prepared plan, which is the production path
     g = planted_graph(
         spark, n=args.n, m=args.m, r=20, pattern_edges=pat_edges, k=args.k
     )
-    prepared = prepare_triples(g)
     pat = Pattern(pat_edges)
+
+    def best2(fn):
+        best, n = float("inf"), None
+        for _ in range(2):
+            t0 = time.time()
+            n = fn()
+            best = min(best, time.time() - t0)
+        return best, n
 
     out = []
     for keep_plain in (True, False):
-        store = GraphStore(prepared, keep_plain=keep_plain)
+        store = GraphStore(g, keep_plain=keep_plain)
         t0 = time.time()
         n_triples = store.plain.count()
         store.by_s.count(), store.by_o.count()
         build_s = time.time() - t0
         mem, disk = storage_bytes(spark)
 
-        t0 = time.time()
-        n_deg = deg.in_degrees(store.plain).count()
-        deg_s = time.time() - t0
-        t0 = time.time()
-        n_match = find(store, pat).count()
-        match_s = time.time() - t0
+        deg_s, n_deg = best2(lambda: deg.in_degrees(store.plain).count())
+        match_s, n_match = best2(lambda: find(store, pat).count())
 
         store.unpersist()
         rec = {
