@@ -574,3 +574,58 @@ def sa_parallel_local(
     finally:
         _LOCAL_CHAIN_ARGS = None
     return _merge_states(states)
+
+
+# -- final exact re-ranking -------------------------------------------
+
+_RESCORE_ARGS: tuple | None = None
+
+
+def _det_score_one(res: MotifResult) -> MotifResult:
+    graph, n, m, r, degs = _RESCORE_ARGS
+    rows, _ = graph.find_rows(res.pattern)
+    if not rows:
+        return MotifResult(res.pattern, float("inf"), 0)
+    rows.sort()
+    kept = prune_matches(res.pattern, rows)
+    sc = score_motif_rows(res.pattern, kept, n, m, r, degs)
+    return MotifResult(res.pattern, sc.total, len(kept))
+
+
+def rescore_exact(
+    graph: "LocalGraph",
+    state: SAState,
+    pool: int = 100,
+    processes: int | None = None,
+) -> list[MotifResult]:
+    """Final exact re-ranking of the retained motif set: full uncapped
+    LocalGraph match, overlap prune, exact MDL total — no step, row, or
+    wall-clock budget. SA explores under a per-candidate budget
+    (mirroring the reference's --max-time matcher contract,
+    Find.java:59-69), so retained scores are computed on truncated
+    match sets and can misrank near-peers; this one-shot pass restores
+    the deterministic ordering at the cost of ``pool`` full matches.
+    Returns the re-ranked results (ascending codelength = best first).
+
+    ``pool`` bounds the work to the top-``pool`` retained motifs by
+    budgeted score — the exact top-k is drawn from a pool that already
+    over-covers it. ``processes`` forks a copy-on-write worker pool
+    (the graph's arrays are shared, never pickled), like
+    ``sa_parallel_local``; Spark is never touched.
+    """
+    global _RESCORE_ARGS
+    cand = by_score(state, min(pool, len(state.results)))
+    degs = graph.degree_arrays(state.n, state.r)
+    _RESCORE_ARGS = (graph, state.n, state.m, state.r, degs)
+    try:
+        if processes and processes > 1 and len(cand) > 1:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("fork")
+            with ctx.Pool(min(processes, len(cand))) as p:
+                out = p.map(_det_score_one, cand)
+        else:
+            out = [_det_score_one(c) for c in cand]
+    finally:
+        _RESCORE_ARGS = None
+    return sorted(out, key=lambda r: (r.score, str(r.pattern)))

@@ -131,3 +131,50 @@ def test_sa_parallel_merges_chains(spark):
     state = sa_parallel(g, chains=2, config=SAConfig(iterations=12, seed=9))
     assert state.results  # hub motif compresses; chains merged min-score
     g.unpersist()
+
+
+def test_rescore_exact_restores_det_ranking(spark):
+    """SA under a harsh per-candidate step budget retains truncated
+    scores; rescore_exact must (a) emit ascending deterministic-exact
+    scores that match an independent uncapped recompute, and (b) give
+    identical output serial vs process-pool."""
+    from motive_rdf_spark.operators.localgraph import LocalGraph
+    from motive_rdf_spark.operators.mdl_ops import score_motif_rows
+    from motive_rdf_spark.operators.prune import prune_matches
+    from motive_rdf_spark.search import rescore_exact
+
+    pat = [(-1, 0, -2), (-1, 1, -3), (-2, 2, -3)]
+    g = planted_graph(spark, n=300, m=900, r=5, pattern_edges=pat, k=60, seed=3)
+    lg = LocalGraph.from_df(g)
+
+    # max_steps=1000 admits the planted triangle but truncates pricier
+    # transition candidates (timed_out_count > 0 below), so retained
+    # scores can be budget-distorted — what rescore must repair
+    sa = SimAnnealing(
+        lg,
+        SAConfig(iterations=60, seed=3, sample_rows=10, max_steps=1000),
+        init_pattern=Pattern(pat),
+    )
+    state = sa.run()
+    assert state.results
+    assert state.timed_out_count > 0  # the budget did bite somewhere
+
+    out = rescore_exact(lg, state, pool=20)
+    scores = [x.score for x in out]
+    assert scores == sorted(scores)
+
+    gn, gm, gr = lg.dims()
+    degs = lg.degree_arrays(gn, gr)
+    for x in out[:5]:
+        rows, timed = lg.find_rows(x.pattern)
+        assert not timed
+        rows.sort()
+        kept = prune_matches(x.pattern, rows)
+        expect = score_motif_rows(x.pattern, kept, state.n, state.m, state.r, degs)
+        assert x.score == expect.total
+        assert x.frequency == len(kept)
+
+    out2 = rescore_exact(lg, state, pool=20, processes=2)
+    assert [(str(x.pattern), x.score, x.frequency) for x in out2] == [
+        (str(x.pattern), x.score, x.frequency) for x in out
+    ]

@@ -233,7 +233,7 @@ def run_dataset(spark, name: str, hdt_path: str, iterations: int, chains: int,
                 seed: int, sample_rows: int, max_matches: int,
                 max_time_s: float, max_steps: int):
     from motive_rdf_spark.operators.localgraph import LocalGraph
-    from motive_rdf_spark.search import SAConfig, by_score, sa_parallel_local
+    from motive_rdf_spark.search import SAConfig, sa_parallel_local
     from motive_rdf_spark.sources.cache import cached_hdt_graph
 
     triples, node_dict, pred_dict = cached_hdt_graph(spark, hdt_path)
@@ -266,8 +266,12 @@ def run_dataset(spark, name: str, hdt_path: str, iterations: int, chains: int,
         retain=200,
     )
     state = sa_parallel_local(graph, chains=chains, config=cfg)
+    # final exact re-ranking (search.rescore_exact): SA explores under
+    # the step budget, the emitted ranking is deterministic-exact
+    from motive_rdf_spark.search import rescore_exact
+
+    top25 = rescore_exact(graph, state, pool=100, processes=chains)[:25]
     wall = time.time() - t0
-    top25 = by_score(state, 25)
     print(
         f"[{name}] SA done: {iterations} iters / {chains} chains in "
         f"{wall:.0f}s; {len(state.results)} retained, "
@@ -308,6 +312,48 @@ def run_dataset(spark, name: str, hdt_path: str, iterations: int, chains: int,
             sup_viol.append((g["edges"], got, g["freq"]))
     for edges, got, want in sup_viol:
         print(f"[{name}] SUPPORT VIOLATION {edges}: ours={got} < table={want}")
+
+    # displacement audit (machine-checks the PR_REPORT claim that table
+    # rows absent from our top-25 were DISPLACED by better-scoring
+    # motifs, not missed): re-score BOTH sides with the deterministic
+    # uncapped coder — full LocalGraph match, overlap prune, exact MDL
+    # total, no step/row budget — so the comparison is apples-to-apples
+    # (in-search scores are budget-truncated). Rank the union of our
+    # top-25 and the absent published rows by that score; an absent
+    # published row landing inside the union's det-top-25 is an
+    # INTRUDER (a genuine search miss), one landing outside is
+    # legitimately outscored by what we kept.
+    from motive_rdf_spark.operators.mdl_ops import score_motif_rows
+    from motive_rdf_spark.operators.prune import prune_matches
+
+    degs = graph.degree_arrays(state.n, state.r)
+
+    def det_score(pat) -> float:
+        rows, _ = graph.find_rows(pat)
+        if not rows:
+            return float("inf")
+        rows.sort()
+        kept = prune_matches(pat, rows)
+        sc = score_motif_rows(pat, kept, state.n, state.m, state.r, degs)
+        return sc.total
+
+    our25_keys = {canonical_key(r.pattern) for r in top25}
+    displaced = [g for g in parsed[:25] if g["key"] not in our25_keys]
+    # our side is already deterministic-exact (rescore_exact above)
+    union = [(r.score, 0, None) for r in top25] + [
+        (det_score(g["pattern"]), 1, g) for g in displaced
+    ]
+    union.sort()
+    intruders = sum(1 for _, tag, _ in union[:25] if tag == 1)
+    for rank, (s, tag, g) in enumerate(union):
+        if tag == 1:
+            verdict = "INTRUDER" if rank < 25 else "outscored"
+            edges = " . ".join("".join(e) for e in g["edges"])
+            print(
+                f"[{name}] displaced {verdict} det_score={s:.1f} "
+                f"det_rank={rank + 1}  {edges}"
+            )
+
     # diagnostic: what did we rank top-25, and was each in the table?
     inv_pred = {v: k for k, v in pred_ids.items()}
     inv_node = {v: k for k, v in node_ids.items()}
@@ -342,6 +388,8 @@ def run_dataset(spark, name: str, hdt_path: str, iterations: int, chains: int,
         "supports_exact": sup_exact,
         "supports_ref_truncated": sup_trunc,
         "support_violations": len(sup_viol),
+        "displaced_checked": len(displaced),
+        "displaced_outscored": len(displaced) - intruders,
     }
 
 
@@ -352,19 +400,26 @@ def update_pr_report(results: list[dict], sweep: list[dict]) -> None:
     if marker in text:
         text = text[: text.index(marker)]
 
-    def row(r: dict) -> str:
+    def row(r: dict, with_disp: bool = True) -> str:
+        disp = (
+            f" {r['displaced_outscored']}/{r['displaced_checked']} |"
+            if with_disp and "displaced_checked" in r
+            else ""
+        )
         return (
             f"| {r['dataset']} | {r['iterations']} ({r['chains']} chains, "
             f"{r['wall_s']}s) | {r['max_steps']} | {r['overlap25']:.2f} "
             f"| {r['table25_recall']:.2f} "
             f"| {r['supports_exact']} / {r['supports_ref_truncated']} / "
-            f"{r['support_violations']} |"
+            f"{r['support_violations']} |" + disp
         )
 
     header = (
         "| dataset | iterations | step budget | top-25 overlap "
-        "| table-top-25 recall | supports exact / ref-trunc / VIOLATIONS |"
+        "| table-top-25 recall | supports exact / ref-trunc / VIOLATIONS "
+        "| displaced outscored |"
     )
+    sweep_header = header[: header.index("| displaced")] + "|"
     lines = [
         marker.strip(),
         "",
@@ -398,15 +453,25 @@ def update_pr_report(results: list[dict], sweep: list[dict]) -> None:
         "(ours below published = matches we miss) — the hard correctness",
         "bar — must be and are ZERO.",
         "",
+        "'displaced outscored' machine-checks the variant claim above:",
+        "both sides re-scored with the deterministic UNCAPPED coder (full",
+        "match, overlap prune, exact MDL total — in-search scores are",
+        "budget-truncated, so this is the apples-to-apples comparison),",
+        "then the union of our top-25 and the absent published",
+        "logfactor-top-25 rows is ranked by that score. An absent row",
+        "landing inside the union's det-top-25 is a genuine search miss;",
+        "one landing outside is legitimately outscored by what we kept.",
+        "x/y = absent published rows outscored / absent published rows.",
+        "",
         header,
-        "|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|",
         *[row(r) for r in results],
         "",
         "Budget sensitivity (same seeds, same comparison):",
         "",
-        header,
+        sweep_header,
         "|---|---|---|---|---|---|",
-        *[row(r) for r in sweep],
+        *[row(r, with_disp=False) for r in sweep],
         "",
     ]
     open(path, "w").write(text.rstrip() + "\n\n" + "\n".join(lines))
