@@ -890,6 +890,23 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+@q("dedup_clusters", _orc.dedup_clusters_sql())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash+LSH verified pairs → salted
+    connected components → one canonical doc per cluster (min id),
+    singletons their own cluster. The DuckDB oracle recomputes the
+    whole chain independently (pair pipeline + recursive transitive
+    closure)."""
+    from motive_rdf_spark.operators.dedup import (
+        dedup_clusters as _clusters,
+        minhash_dedup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.5, hash_fn="md5")
+    return _clusters(docs, pairs)
+
+
 @q("minhash_dedup", _orc.minhash_dedup_sql())
 def minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-Jaccard verification.

@@ -337,3 +337,43 @@ WITH words AS (
 )
 SELECT {id_col}, CAST({fp} AS BIGINT) AS sh FROM voted
 """
+
+
+# ---------------------------------------------------------------------------
+# near-duplicate clustering: one canonical document per dup cluster
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse verified near-dup pairs into clusters and pick one
+    canonical representative per cluster — the step after pair
+    detection that an actual dedup pipeline ships: connected
+    components over the pair graph (the salted min-label + pointer-
+    jumping implementation from pipeline/canonicalize.py, so a viral
+    boilerplate cluster spanning millions of documents converges in
+    O(log diameter) rounds with no hot partition), then every document
+    labeled [doc_id, cluster_id, is_canonical] where cluster_id = min
+    doc id of its cluster and singletons are their own cluster.
+    Training-set construction keeps `is_canonical` rows only.
+
+    ``pairs`` is any [a, b, ...] near-dup pair frame (minhash_dedup_pairs,
+    ngram_jaccard_pairs, cosine near-dup) with ids in ``docs``'s id space.
+    """
+    from motive_rdf_spark.pipeline.canonicalize import connected_components
+
+    edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    comp = connected_components(edges)
+    did = F.col(id_col)
+    return (
+        docs.select(did.alias("doc_id"))
+        .join(comp, F.col("doc_id") == comp["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )

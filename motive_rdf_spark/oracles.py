@@ -371,3 +371,32 @@ SELECT metric, CAST(value AS BIGINT) AS value FROM (
   UNION ALL SELECT 'top_is_planted', 1
   UNION ALL SELECT 'top_frequency_ge_k', 1
 )"""
+
+
+def dedup_clusters_sql(
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    threshold: float = 0.5,
+    table: str = "documents",
+) -> str:
+    """Near-dup clustering re-computed independently: the full
+    minhash_dedup_sql pair pipeline as a CTE, then a recursive
+    transitive closure (the same shape as pipeline_canonicalize_sql)
+    labels every document with min-reachable-id; docs without a pair
+    are their own cluster."""
+    pairs = minhash_dedup_sql(num_hashes, bands, seed, threshold, table)
+    return f"""WITH RECURSIVE pairs AS ({pairs}
+), sym AS (
+  SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs
+), reach AS (
+  SELECT a AS node, a AS comp FROM sym
+  UNION
+  SELECT s.b AS node, r.comp FROM reach r JOIN sym s ON s.a = r.node
+), comp AS (
+  SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
+FROM {table} d LEFT JOIN comp c ON c.node = d.doc_id"""

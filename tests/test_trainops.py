@@ -540,3 +540,24 @@ def test_pack_sequences_oracle_agrees_on_multiwhitespace(spark, tmp_path):
     )
     duck_rows = sorted(map(tuple, con.execute(sql).fetchall()))
     assert spark_rows == duck_rows
+
+
+def test_dedup_clusters_canonical_per_component(spark):
+    """Chain a-b-c and pair e-f must fold to min-id clusters; isolated
+    d stays its own canonical singleton. Transitivity comes from the
+    CC step, not the pair list (a-c is never a direct pair)."""
+    from pyspark.sql import functions as F
+
+    from motive_rdf_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (5, 6, 0.7)], "a long, b long, jaccard double"
+    )
+    out = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert {k: v["cluster_id"] for k, v in out.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5
+    }
+    assert [k for k, v in sorted(out.items()) if v["is_canonical"]] == [1, 4, 5]
