@@ -121,25 +121,48 @@ def lsh_sketch(
     bit-identical to the per-row formula for either hash family) and
     embedded as literal arrays. The per-row work is then just
     ``num_planes`` dot products over codegen'd literals instead of
-    ``num_planes * dim`` hash evaluations per vector."""
-    spark = emb.sparkSession
-    row = (
-        spark.range(1)
-        .select(
-            *[
-                _hyperplane(p, dim, seed, hash_fn).alias(f"p{p}")
-                for p in range(num_planes)
-            ]
-        )
-        .first()
-    )
+    ``num_planes * dim`` hash evaluations per vector. The evaluated
+    matrix is memoized per (dim, planes, seed, hash family): it is a
+    pure function of those four values, and a query like lsh_ann_topk
+    sketches queries AND corpus — without the memo each invocation
+    paid the one-row evaluation job (~0.9 s of codegen over 512 hash
+    expressions) twice."""
+    planes = _plane_matrix(emb.sparkSession, dim, num_planes, seed, hash_fn)
     v = F.col(vec_col).cast("array<double>")
     bucket = None
     for p in range(num_planes):
-        plane = F.array(*[F.lit(float(x)) for x in row[f"p{p}"]])
+        # ONE py4j literal call per plane (F.lit on a list builds the
+        # array literal server-side); element-wise F.lit would cost
+        # dim round-trips per plane — measured ~1.4 s of pure driver
+        # time per sketch at dim=64
+        plane = F.lit(list(planes[p]))
         bit = F.when(_dot(v, plane) >= 0, F.lit(2**p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return emb.withColumn("bucket", bucket.cast("long"))
+
+
+_PLANE_CACHE: dict[tuple[int, int, int, str], tuple[tuple[float, ...], ...]] = {}
+
+
+def _plane_matrix(
+    spark, dim: int, num_planes: int, seed: int, hash_fn: str
+) -> tuple[tuple[float, ...], ...]:
+    key = (dim, num_planes, seed, hash_fn)
+    if key not in _PLANE_CACHE:
+        row = (
+            spark.range(1)
+            .select(
+                *[
+                    _hyperplane(p, dim, seed, hash_fn).alias(f"p{p}")
+                    for p in range(num_planes)
+                ]
+            )
+            .first()
+        )
+        _PLANE_CACHE[key] = tuple(
+            tuple(float(x) for x in row[f"p{p}"]) for p in range(num_planes)
+        )
+    return _PLANE_CACHE[key]
 
 
 def cosine_near_dup_pairs(
@@ -229,7 +252,8 @@ def kmeans_centroids(
 
 
 def _centroid_lit(centroids: list[list[float]]) -> Column:
-    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    # one py4j call for the whole nlist x dim matrix (see lsh_sketch)
+    return F.lit([[float(x) for x in c] for c in centroids])
 
 
 def _cell_sims(unit_vec: Column, centroids: list[list[float]]) -> Column:

@@ -582,8 +582,16 @@ _RESCORE_ARGS: tuple | None = None
 
 
 def _det_score_one(res: MotifResult) -> MotifResult:
-    graph, n, m, r, degs = _RESCORE_ARGS
-    rows, _ = graph.find_rows(res.pattern)
+    graph, n, m, r, degs, max_rows = _RESCORE_ARGS
+    rows, _ = graph.find_rows(res.pattern, max_rows=max_rows)
+    if max_rows is not None and len(rows) >= max_rows:
+        # enumeration truncated: the exact score is not computable
+        # within the row ceiling, so the motif is excluded from the
+        # exact ranking (score inf) rather than ranked on a partial
+        # match set. Degenerate all-variable monsters on a dense graph
+        # can exceed 1e8 raw rows — one such motif cost 30+ min and
+        # ~40 GB before this guard existed.
+        return MotifResult(res.pattern, float("inf"), len(rows))
     if not rows:
         return MotifResult(res.pattern, float("inf"), 0)
     rows.sort()
@@ -597,9 +605,10 @@ def rescore_exact(
     state: SAState,
     pool: int = 100,
     processes: int | None = None,
+    max_rows: int | None = 2_000_000,
 ) -> list[MotifResult]:
-    """Final exact re-ranking of the retained motif set: full uncapped
-    LocalGraph match, overlap prune, exact MDL total — no step, row, or
+    """Final exact re-ranking of the retained motif set: full
+    LocalGraph match, overlap prune, exact MDL total — no step or
     wall-clock budget. SA explores under a per-candidate budget
     (mirroring the reference's --max-time matcher contract,
     Find.java:59-69), so retained scores are computed on truncated
@@ -612,11 +621,18 @@ def rescore_exact(
     over-covers it. ``processes`` forks a copy-on-write worker pool
     (the graph's arrays are shared, never pickled), like
     ``sa_parallel_local``; Spark is never touched.
-    """
+
+    ``max_rows`` is the one remaining safety ceiling: a motif whose
+    RAW enumeration exceeds it (degenerate all-variable shapes reach
+    1e8+ rows even on a 74k-triple graph) is excluded from the exact
+    ranking (score inf, frequency = rows seen at truncation) instead
+    of stalling the pass; every meaningful motif on the reference
+    fixtures enumerates orders of magnitude below the default.
+    ``None`` removes the ceiling."""
     global _RESCORE_ARGS
     cand = by_score(state, min(pool, len(state.results)))
     degs = graph.degree_arrays(state.n, state.r)
-    _RESCORE_ARGS = (graph, state.n, state.m, state.r, degs)
+    _RESCORE_ARGS = (graph, state.n, state.m, state.r, degs, max_rows)
     try:
         if processes and processes > 1 and len(cand) > 1:
             import multiprocessing as mp

@@ -266,11 +266,17 @@ def run_dataset(spark, name: str, hdt_path: str, iterations: int, chains: int,
         retain=200,
     )
     state = sa_parallel_local(graph, chains=chains, config=cfg)
-    # final exact re-ranking (search.rescore_exact): SA explores under
-    # the step budget, the emitted ranking is deterministic-exact
-    from motive_rdf_spark.search import rescore_exact
+    # two rankings of the retained set:
+    #  - budgeted: by in-search (step-budget-truncated) scores — the
+    #    faithful analog of how the reference produced its tables
+    #  - exact: search.rescore_exact over ALL retained motifs (full
+    #    uncapped match + exact MDL) — the engine's emitted ranking
+    from motive_rdf_spark.search import by_score, rescore_exact
 
-    top25 = rescore_exact(graph, state, pool=100, processes=chains)[:25]
+    top25_budgeted = by_score(state, 25)
+    top25 = rescore_exact(
+        graph, state, pool=len(state.results), processes=chains
+    )[:25]
     wall = time.time() - t0
     print(
         f"[{name}] SA done: {iterations} iters / {chains} chains in "
@@ -282,6 +288,10 @@ def run_dataset(spark, name: str, hdt_path: str, iterations: int, chains: int,
 
     hits = [r for r in top25 if canonical_key(r.pattern) in golden_keys]
     overlap = len(hits) / len(top25) if top25 else 0.0
+    hits_b = [
+        r for r in top25_budgeted if canonical_key(r.pattern) in golden_keys
+    ]
+    overlap_b = len(hits_b) / len(top25_budgeted) if top25_budgeted else 0.0
 
     # recall side: is each of the table's top-25 anywhere in our
     # retained result set?
@@ -329,8 +339,10 @@ def run_dataset(spark, name: str, hdt_path: str, iterations: int, chains: int,
     degs = graph.degree_arrays(state.n, state.r)
 
     def det_score(pat) -> float:
-        rows, _ = graph.find_rows(pat)
-        if not rows:
+        # same row ceiling as rescore_exact: a published row that
+        # truncates (none do on these fixtures) scores inf
+        rows, _ = graph.find_rows(pat, max_rows=2_000_000)
+        if not rows or len(rows) >= 2_000_000:
             return float("inf")
         rows.sort()
         kept = prune_matches(pat, rows)
@@ -382,7 +394,8 @@ def run_dataset(spark, name: str, hdt_path: str, iterations: int, chains: int,
         "max_steps": max_steps,
         "wall_s": round(wall, 1),
         "retained": len(state.results),
-        "overlap25": round(overlap, 4),
+        "overlap25": round(overlap_b, 4),
+        "overlap25_exact": round(overlap, 4),
         "table25_recall": round(recall, 4),
         "supports_checked": len(hits),
         "supports_exact": sup_exact,
@@ -409,13 +422,15 @@ def update_pr_report(results: list[dict], sweep: list[dict]) -> None:
         return (
             f"| {r['dataset']} | {r['iterations']} ({r['chains']} chains, "
             f"{r['wall_s']}s) | {r['max_steps']} | {r['overlap25']:.2f} "
+            f"| {r['overlap25_exact']:.2f} "
             f"| {r['table25_recall']:.2f} "
             f"| {r['supports_exact']} / {r['supports_ref_truncated']} / "
             f"{r['support_violations']} |" + disp
         )
 
     header = (
-        "| dataset | iterations | step budget | top-25 overlap "
+        "| dataset | iterations | step budget | top-25 overlap (budgeted rank) "
+        "| top-25 overlap (exact rank) "
         "| table-top-25 recall | supports exact / ref-trunc / VIOLATIONS "
         "| displaced outscored |"
     )
@@ -439,13 +454,19 @@ def update_pr_report(results: list[dict], sweep: list[dict]) -> None:
         "attempts is the same order. The budget matters because the",
         "published tables are what a BUDGETED 2018 search surfaced — the",
         "supplement's own AIFB row 1 is printed at 7,549 of the",
-        "deterministic 11,794 matches. Unbudgeted, our search finds",
-        "higher-compression variants absent from the published tables",
-        "(e.g. Mutag's single highest-frequency edge motif `?1 mtg:inBond",
-        "?2`, freq 18,634, appears in NEITHER published Mutag table while",
-        "lower-frequency `?1 mtg:hasBond ?2` @ 9,317 does) and overlap",
-        "drops to ~0.1 — every audited miss is such a variant, not a",
-        "failure to find published rows.",
+        "deterministic 11,794 matches.",
+        "",
+        "Two rankings of the same retained set are reported. 'budgeted",
+        "rank' orders by the in-search (budget-truncated) scores — the",
+        "faithful analog of the reference's protocol and the number",
+        "comparable to its tables. 'exact rank' is the engine's emitted",
+        "ordering (search.rescore_exact): every retained motif re-scored",
+        "by the uncapped deterministic coder. Exact rank prefers the",
+        "higher-compression variants the budgeted 2018 search could not",
+        "afford (e.g. Mutag's single highest-frequency edge motif",
+        "`?1 mtg:inBond ?2`, freq 18,634, appears in NEITHER published",
+        "Mutag table while lower-frequency `?1 mtg:hasBond ?2` @ 9,317",
+        "does), so its table overlap is lower by construction.",
         "",
         "Support columns (full deterministic counts, uncapped): 'exact' =",
         "equals the published frequency; 'ref-trunc' = ours exceeds it",
@@ -453,24 +474,26 @@ def update_pr_report(results: list[dict], sweep: list[dict]) -> None:
         "(ours below published = matches we miss) — the hard correctness",
         "bar — must be and are ZERO.",
         "",
-        "'displaced outscored' machine-checks the variant claim above:",
-        "both sides re-scored with the deterministic UNCAPPED coder (full",
-        "match, overlap prune, exact MDL total — in-search scores are",
-        "budget-truncated, so this is the apples-to-apples comparison),",
-        "then the union of our top-25 and the absent published",
-        "logfactor-top-25 rows is ranked by that score. An absent row",
-        "landing inside the union's det-top-25 is a genuine search miss;",
-        "one landing outside is legitimately outscored by what we kept.",
-        "x/y = absent published rows outscored / absent published rows.",
+        "'displaced outscored' machine-checks WHY published rows are",
+        "absent from our exact-rank top-25: the union of our top-25 and",
+        "the absent published logfactor-top-25 rows is ranked by the",
+        "same uncapped deterministic score. An absent row landing",
+        "outside the union's det-top-25 was legitimately outscored by",
+        "what we kept; one landing inside is a genuine miss of the",
+        "100k-iteration budgeted search — a published motif it did not",
+        "retain at full strength. x/y = outscored / absent. The hard",
+        "correctness bar stays the VIOLATIONS column (zero): on every",
+        "motif both sides rank, our deterministic support is never below",
+        "the published frequency.",
         "",
         header,
-        "|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|",
         *[row(r) for r in results],
         "",
         "Budget sensitivity (same seeds, same comparison):",
         "",
         sweep_header,
-        "|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|",
         *[row(r, with_disp=False) for r in sweep],
         "",
     ]
