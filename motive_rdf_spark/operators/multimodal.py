@@ -380,10 +380,11 @@ def _real_features(modality: str, payload: bytes) -> np.ndarray:
 def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     """Batched feature extraction over media rows via ``mapInPandas``.
 
-    ``decode=\"real\"`` uses the pure-Python PPM/WAV codecs above
-    (video still raises); ``decode=\"strict\"`` raises for everything
-    (the fully-stubbed integration point); ``decode=\"fake\"`` hashes
-    bytes into a fixed-shape vector (plumbing tests).
+    ``decode=\"real\"`` uses the pure-Python PPM/WAV/AVI codecs above
+    (all three modalities decode end-to-end); ``decode=\"strict\"``
+    raises for everything (the fully-stubbed integration point for a
+    library decoder); ``decode=\"fake\"`` hashes bytes into a
+    fixed-shape vector (plumbing tests).
     """
     if decode not in ("fake", "strict", "real"):
         raise ValueError(decode)
