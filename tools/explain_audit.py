@@ -34,6 +34,8 @@ AUDITED = [
     "running_user_value",
     "top_token_fraction",
     "dup_bigram_fraction",
+    "dedup_clusters",
+    "stratified_sample",
 ]
 
 

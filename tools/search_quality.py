@@ -406,7 +406,39 @@ def run_dataset(spark, name: str, hdt_path: str, iterations: int, chains: int,
     }
 
 
+SIDECAR = os.path.join(REPO, "BENCH", "search_quality.json")
+
+
+def merge_sidecar(results: list[dict], sweep: list[dict]) -> tuple[list[dict], list[dict]]:
+    """Accumulate run rows in BENCH/search_quality.json so partial runs
+    (e.g. a deep main run with --sweep '') compose into one report
+    instead of overwriting each other's rows. Key: (dataset, iterations,
+    chains, max_steps, kind); a re-run of the same config replaces its
+    row. Returns ALL known (main, sweep) rows, sorted for rendering."""
+    import json
+
+    store: dict[str, dict] = {}
+    if os.path.exists(SIDECAR):
+        store = json.load(open(SIDECAR))
+    for kind, rows in (("main", results), ("sweep", sweep)):
+        for r in rows:
+            k = f"{r['dataset']}|{r['iterations']}|{r['chains']}|{r['max_steps']}|{kind}"
+            store[k] = {**r, "kind": kind}
+    os.makedirs(os.path.dirname(SIDECAR), exist_ok=True)
+    json.dump(store, open(SIDECAR, "w"), indent=1, sort_keys=True)
+    mains = sorted(
+        (v for v in store.values() if v["kind"] == "main"),
+        key=lambda r: (r["dataset"], r["iterations"], r["max_steps"]),
+    )
+    sweeps = sorted(
+        (v for v in store.values() if v["kind"] == "sweep"),
+        key=lambda r: (r["dataset"], r["iterations"], r["max_steps"]),
+    )
+    return mains, sweeps
+
+
 def update_pr_report(results: list[dict], sweep: list[dict]) -> None:
+    results, sweep = merge_sidecar(results, sweep)
     path = os.path.join(REPO, "PR_REPORT.md")
     text = open(path).read()
     marker = "\n## SA-discovered motif ranking"
@@ -490,13 +522,16 @@ def update_pr_report(results: list[dict], sweep: list[dict]) -> None:
         "|---|---|---|---|---|---|---|---|",
         *[row(r) for r in results],
         "",
-        "Budget sensitivity (same seeds, same comparison):",
-        "",
-        sweep_header,
-        "|---|---|---|---|---|---|---|",
-        *[row(r, with_disp=False) for r in sweep],
-        "",
     ]
+    if sweep:
+        lines += [
+            "Budget sensitivity (same seeds, same comparison):",
+            "",
+            sweep_header,
+            "|---|---|---|---|---|---|---|",
+            *[row(r, with_disp=False) for r in sweep],
+            "",
+        ]
     open(path, "w").write(text.rstrip() + "\n\n" + "\n".join(lines))
 
 
