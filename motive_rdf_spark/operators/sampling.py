@@ -128,28 +128,42 @@ def stratified_sample(
         .filter(F.col("__n") > int(hot_threshold))
     )
     # pre-filter: non-hot rows (null __n) pass through; hot rows keep
-    # only the smallest-hash prefix sized ~safety*k
+    # only the smallest-hash prefix sized ~safety*k. __n rides along so
+    # the shortfall check below needs no second aggregation pass.
     thr = F.ceil(F.lit(float(safety) * k * PRECISION) / F.col("__n")).cast("long")
-    survivors = (
-        df.join(F.broadcast(hot), group_col, "left")
-        .filter(F.col("__n").isNull() | (h < thr))
-        .select(*df.columns)
+    survivors = df.join(F.broadcast(hot), group_col, "left").filter(
+        F.col("__n").isNull() | (h < thr)
     )
-    ranked = _rank_topk(survivors, group_col, k, seed, id_col)
 
-    # in-plan shortfall check: a flagged group must yield min(k, __n)
-    # rows, else its prefix was too small — re-rank it from the full df
-    got = (
-        ranked.join(F.broadcast(hot.select(group_col)), group_col, "left_semi")
-        .groupBy(group_col)
-        .agg(F.count(F.lit(1)).alias("__m"))
+    # rank and survivor-count in ONE window stage: both windows share
+    # the partitioning, so the planner emits a single exchange and the
+    # shortfall test is a row-local predicate instead of the previous
+    # groupBy + two joins over a recomputed window (the old shape
+    # evaluated the whole rank twice via forked lineage).
+    w_rank = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    w_grp = Window.partitionBy(group_col)
+    ranked = survivors.withColumn("__rk", F.row_number().over(w_rank)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(w_grp)
     )
-    short = (
-        hot.join(got, group_col, "left")
-        .filter(F.coalesce(F.col("__m"), F.lit(0)) < F.least(F.lit(k), F.col("__n")))
+    # a flagged group is short iff fewer than min(k, |group|) survivors
+    # remain; equivalently min(k, __cnt) < min(k, __n) — the exactness
+    # argument (prefix of the rank order) is unchanged.
+    short_cond = F.col("__n").isNotNull() & (
+        F.col("__cnt") < F.least(F.lit(k), F.col("__n"))
+    )
+    ok = ranked.filter(~short_cond & (F.col("__rk") <= k)).select(*df.columns)
+    # group-level shortfall set: row-local filtering alone would miss a
+    # group whose prefix kept ZERO rows (it has no rows in `ranked` to
+    # flag), so take flagged groups minus the ones proven satisfied
+    satisfied = (
+        ranked.filter(F.col("__n").isNotNull() & ~short_cond)
         .select(group_col)
+        .distinct()
     )
-    ok = ranked.join(F.broadcast(short), group_col, "left_anti")
+    short = hot.select(group_col).join(satisfied, group_col, "left_anti")
+    # the redo probe scan is skipped at runtime when `short` is empty:
+    # the broadcast stage materializes first and AQE's empty-relation
+    # propagation folds the left-semi join away
     redo = _rank_topk(
         df.join(F.broadcast(short), group_col, "left_semi"), group_col, k, seed, id_col
     )

@@ -149,6 +149,11 @@ def main(names: list[str]) -> None:
         "  fewer_exchanges).",
         "- `pushdown: —` is expected for queries whose first operator is a",
         "  full aggregation (no filter to push).",
+        "- dedup_clusters's single SMJ is deliberate: the docs ⨝ components",
+        "  join's build side (every doc appearing in a near-dup pair) is NOT",
+        "  provably bounded, so the spill-safe sort-merge strategy is left to",
+        "  AQE rather than hinting a shuffle-hash build that could OOM on a",
+        "  boilerplate-heavy corpus; AQE still broadcasts it when small.",
         "- row-python must be `none` everywhere (input_hint: vectorized",
         "  Arrow UDFs only).",
     ]
