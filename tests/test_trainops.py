@@ -561,3 +561,39 @@ def test_dedup_clusters_canonical_per_component(spark):
         1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5
     }
     assert [k for k, v in sorted(out.items()) if v["is_canonical"]] == [1, 4, 5]
+
+
+def test_token_count_bpe_pretokenizer_cases(spark):
+    """The portable BPE-ish pre-tokenizer must agree with its declared
+    piece rules — contractions split, digit runs cap at 3, punctuation
+    is one piece per mark, whitespace never counts — and match the
+    DuckDB oracle regex on the same strings (Java regex vs RE2)."""
+    import duckdb
+
+    from motive_rdf_spark.contract import BPE_TOKEN_RX
+
+    from pyspark.sql import functions as F
+
+    cases = [
+        (1, "don't stop"),          # don / 't / stop
+        (2, "12345"),               # 123 / 45
+        (3, "e.g. x"),              # e / . / g / . / x
+        (4, "hello   world"),       # runs of spaces separate, not count
+        (5, ""),                    # empty -> 0
+        (6, "it's we'll they've"),  # 2 + 2 + 2
+        (7, "a\tb\nc"),             # tabs/newlines separate
+    ]
+    expect = {1: 3, 2: 2, 3: 5, 4: 2, 5: 0, 6: 6, 7: 3}
+    df = spark.createDataFrame(cases, "doc_id long, text string").select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RX), 0)).alias("n"),
+    )
+    got = {r["doc_id"]: r["n"] for r in df.collect()}
+    assert got == expect, got
+    # RE2 (DuckDB) agreement on the identical pattern
+    con = duckdb.connect()
+    for doc_id, text in cases:
+        (n,) = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [text, BPE_TOKEN_RX]
+        ).fetchone()
+        assert n == expect[doc_id], (doc_id, text, n)
