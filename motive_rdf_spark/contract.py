@@ -489,6 +489,30 @@ def dup_bigram_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_bigram_fraction(_t(spark, sf_dir, "documents"))
 
 
+from motive_rdf_spark.operators.lm import bigram_lm_sql as _lm_sql
+from motive_rdf_spark.operators.lm import boilerplate_sql as _boiler_sql
+
+
+@q("lm_bigram_score", _lm_sql())
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-proxy quality score: mean -log2 P of each
+    doc's bigrams under an add-0.5-smoothed bigram LM trained on the
+    corpus itself (operators/lm.py). Train = two partial-aggregatable
+    groupBys; score = inverted-index join on the bigram key."""
+    from motive_rdf_spark.operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+@q("boilerplate_ngrams", _boiler_sql())
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate contamination: fraction of a doc's distinct 3-grams
+    with corpus document-frequency >= 3 (template/banner detection)."""
+    from motive_rdf_spark.operators.lm import boilerplate_fraction
+
+    return boilerplate_fraction(_t(spark, sf_dir, "documents"))
+
+
 @q(
     "embedding_norm",
     """SELECT vec_id, ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2
@@ -521,6 +545,33 @@ def connected_to(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s").alias("node"))
         .distinct()
     )
+
+
+_KHOP_SQL = (
+    TRIPLES_CTE.replace("WITH triples", "WITH RECURSIVE triples", 1)
+    + """, seeds AS (SELECT DISTINCT s AS node FROM triples WHERE p = 1),
+reach AS (
+  SELECT node, 0 AS dist FROM seeds
+  UNION
+  SELECT t.o AS node, r.dist + 1 AS dist
+  FROM reach r JOIN triples t ON t.s = r.node
+  WHERE r.dist < 3
+)
+SELECT node, CAST(MIN(dist) AS INTEGER) AS dist FROM reach GROUP BY node"""
+)
+
+
+@q("khop_reachability", _KHOP_SQL)
+def khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL property-path analog ``(:p){,3}``: min hop distance from
+    every customer (subjects of `placed`) over the whole KG — reaches
+    orders+nations at 1, parts+regions at 2, suppliers at 3. Frontier
+    BFS, one lazy plan (operators/paths.py); oracle is a recursive CTE."""
+    from motive_rdf_spark.operators.paths import khop_min_dist
+
+    t = _triples(spark, sf_dir)
+    seeds = t.filter(F.col("p") == 1).select(F.col("s").alias("node")).distinct()
+    return khop_min_dist(t, seeds, k=3)
 
 
 @q(
@@ -874,6 +925,32 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from motive_rdf_spark.operators.sampling import pack_sequences
 
     return pack_sequences(_t(spark, sf_dir, "documents"), 512, "source")
+
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(
+        f"WHEN '{g}' THEN {int(round(r * 1_000_000))}"
+        for g, r in sorted(_MIX_RATES.items())
+    )
+    + " ELSE -1 END"
+)
+
+
+@q(
+    "mix_sources",
+    f"SELECT doc_id, source FROM documents WHERE {_SEL_HASH_SQL} < {_MIX_CASE}",
+)
+def mix_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing resampler: per-source keep rates (src0 100%, src1
+    50%, src2 25%, src3 10%, everything else dropped) via the portable
+    selection hash — deterministic, nested across rates, shuffle-free."""
+    from motive_rdf_spark.operators.sampling import mix_sources
+
+    return mix_sources(
+        _t(spark, sf_dir, "documents").select("doc_id", "source"), _MIX_RATES
+    )
 
 
 _DECONTAMINATE_SQL = """

@@ -1,0 +1,76 @@
+"""Bounded property-path reachability over the (s, p, o) graph — the
+SPARQL 1.1 property-path analog (``p{1,k}`` / ``(:a/:b/:c){,k}``) the
+reference's point-lookup layer (Graph.get / containment,
+SimpleGraphs.java) answers one hop at a time; here it is a set-at-a-time
+frontier BFS so the whole k-hop closure is ONE Spark plan.
+
+Scale design: classic distributed BFS —
+
+- each level is an equi-join of the current frontier against the edge
+  table, hash-partitioned on the join key; hub nodes skew only the
+  probe side and AQE's skew-join splits them,
+- the frontier is deduped per level (partial-aggregatable distinct)
+  and visited nodes are removed with a left-anti join, so a node is
+  expanded exactly once — total work O(edges within k hops), the
+  min-dist label falls out of the level order for free,
+- each level's frontier is materialized with an eager localCheckpoint
+  (the same discipline as pipeline/canonicalize's pointer jumping):
+  every frontier feeds THREE consumers (the output level, the visited
+  set, and the next expansion), so a lazy composition re-computes
+  level d once per later level — O(k²) exchanges instead of O(k)
+  (measured: 33 exchanges for k=3 lazy vs ~3 per level materialized).
+  ``materialize=False`` keeps the single lazy plan for k<=2 cases
+  where a caller wants one job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def khop_min_dist(
+    triples: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    preds: list[int] | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Minimum directed hop distance (0..k) from ``seeds`` to every
+    node reachable in at most ``k`` hops.
+
+    ``seeds``: DataFrame with a ``node`` column (dist 0).
+    ``preds``: optionally restrict traversal to these predicate ids
+    (a property-path alternation ``(:p0|:p1){,k}``).
+
+    Returns DataFrame[node, dist] with one row per reached node and
+    dist = the BFS level it was first reached at.
+    """
+    edges = triples
+    if preds is not None:
+        edges = edges.filter(F.col("p").isin([int(p) for p in preds]))
+    edges = edges.select(F.col("s").alias("node"), F.col("o").alias("nxt"))
+
+    frontier = seeds.select(F.col("node").cast("long")).distinct()
+    if materialize:
+        frontier = frontier.localCheckpoint(eager=True)
+    visited = frontier
+    levels = [frontier.select("node", F.lit(0).cast("int").alias("dist"))]
+    for d in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, "node")
+            .select(F.col("nxt").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        if materialize:
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break  # closure reached before k hops — stop expanding
+        levels.append(nxt.select("node", F.lit(d).cast("int").alias("dist")))
+        visited = visited.unionAll(nxt)
+        frontier = nxt
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out

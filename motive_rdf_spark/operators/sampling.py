@@ -169,3 +169,35 @@ def stratified_sample(
     )
     # USING-column joins move the key to the front; restore df's order
     return ok.unionByName(redo).select(*df.columns)
+
+
+def mix_sources(
+    df: DataFrame,
+    rates: dict[str, float],
+    seed: int = 42,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain-mixing resampler: keep each row of group g
+    with probability ``rates[g]`` (rows whose group is absent from
+    ``rates`` are dropped — the mixing spec IS the domain allowlist).
+    This is the per-source reweighting step of training-data assembly
+    (down-sample crawl, up-weight curated sources by repetition +
+    rate > their share, drop blocked domains).
+
+    Same portable-hash contract as ``seeded_sample``: selection is a
+    pure function of (id, seed), so the mix is reproducible on any
+    engine, any partitioning, any cluster size — and the per-group
+    hash is the SAME hash, so mixes at different rates are *nested*
+    (rate 0.1 selects a subset of rate 0.5), which makes ablation
+    subsets consistent. Narrow plan: a map-literal lookup + filter, no
+    shuffle, no RNG state.
+    """
+    pairs: list = []
+    for g, r in sorted(rates.items()):
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate for {g!r} must be in [0, 1], got {r}")
+        pairs += [F.lit(g), F.lit(int(round(r * PRECISION)))]
+    thr = F.element_at(F.create_map(*pairs), F.col(group_col))
+    # element_at on a missing key is NULL; NULL < hash is NULL -> filter drops
+    return df.filter(_sel_hash(id_col, seed) < thr)

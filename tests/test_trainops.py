@@ -597,3 +597,107 @@ def test_token_count_bpe_pretokenizer_cases(spark):
             "SELECT len(regexp_extract_all(?, ?))", [text, BPE_TOKEN_RX]
         ).fetchone()
         assert n == expect[doc_id], (doc_id, text, n)
+
+
+# ---------------------------------------------------------------------------
+# corpus LM scoring / boilerplate / domain mixing (operators/lm.py, sampling)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_rare_text_scores_higher(spark):
+    """A document made of corpus-common bigrams must cost fewer bits
+    per bigram than one made of bigrams seen nowhere else."""
+    from motive_rdf_spark.operators.lm import bigram_lm_scores
+
+    common = "the cat sat on the mat"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(10)] + [(99, "zyx wvu tsr qpo nml kji")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["lm_bits_per_bigram"] for r in bigram_lm_scores(docs).collect()}
+    assert len(got) == 11
+    assert got[99] > got[0] + 1.0  # rare text clearly more surprising
+
+
+def test_bigram_lm_matches_duckdb_oracle(spark):
+    """Value-exact vs the generated SQL twin on real testdata."""
+    from motive_rdf_spark.operators.lm import bigram_lm_scores, bigram_lm_sql
+
+    docs = _docs(spark)
+    got = sorted(
+        (r["doc_id"], r["lm_bits_per_bigram"])
+        for r in bigram_lm_scores(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('%s/documents.parquet')"
+        % SF_SMALL
+    )
+    want = sorted(map(tuple, con.execute(bigram_lm_sql()).fetchall()))
+    assert len(got) == len(want)
+    for (gid, gv), (wid, wv) in zip(got, want):
+        assert gid == wid
+        assert abs(gv - wv) < 1e-9
+
+
+def test_boilerplate_fraction_planted_banner(spark):
+    """Docs sharing a planted banner 3-gram score the banner fraction;
+    a unique doc scores 0."""
+    from motive_rdf_spark.operators.lm import boilerplate_fraction
+
+    banner = "all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{banner} alpha beta gamma"),
+            (2, f"{banner} delta epsilon zeta"),
+            (3, f"{banner} eta theta iota"),
+            (4, "kappa lambda mu nu xi"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["boiler_frac"]
+        for r in boilerplate_fraction(docs, n=3, min_df=3).collect()
+    }
+    # each banner doc has 4 distinct 3-grams, exactly 1 of which (the
+    # banner itself) appears in >= 3 docs
+    assert got[1] == got[2] == got[3] == 0.25
+    assert got[4] == 0.0
+
+
+def test_mix_sources_rates_nested_and_allowlist(spark):
+    """mix_sources keeps ~rate per mapped group, drops unmapped groups,
+    and lower rates select nested subsets of higher rates."""
+    from motive_rdf_spark.operators.sampling import mix_sources
+
+    docs = _docs(spark, "/root/testdata/sf0.01").select("doc_id", "source")
+    lo = mix_sources(docs, {"src0": 0.2, "src1": 0.2})
+    hi = mix_sources(docs, {"src0": 0.6, "src1": 0.6, "src2": 0.4})
+    lo_ids = {r["doc_id"] for r in lo.collect()}
+    hi_rows = hi.collect()
+    hi_ids = {r["doc_id"] for r in hi_rows}
+    assert lo_ids <= hi_ids  # nested: same hash, lower threshold
+    assert {r["source"] for r in hi_rows} <= {"src0", "src1", "src2"}
+    # src3..19 dropped entirely; mapped groups keep a plausible fraction
+    n_src0 = sum(1 for r in hi_rows if r["source"] == "src0")
+    assert 0 < n_src0 < 25
+
+
+def test_khop_min_dist_tiny_graph(spark):
+    """Hand-checked BFS distances, incl. a shorter-path override and
+    the predicate allowlist."""
+    from motive_rdf_spark.operators.paths import khop_min_dist
+
+    # 1 -a-> 2 -a-> 3 -a-> 4;  1 -b-> 4 (shortcut);  5 isolated
+    triples = spark.createDataFrame(
+        [(1, 0, 2), (2, 0, 3), (3, 0, 4), (1, 1, 4)],
+        "s long, p long, o long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in khop_min_dist(triples, seeds, k=3).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2}
+    only_a = {
+        r["node"]: r["dist"]
+        for r in khop_min_dist(triples, seeds, k=3, preds=[0]).collect()
+    }
+    assert only_a == {1: 0, 2: 1, 3: 2, 4: 3}

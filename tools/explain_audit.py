@@ -36,6 +36,10 @@ AUDITED = [
     "dup_bigram_fraction",
     "dedup_clusters",
     "stratified_sample",
+    "lm_bigram_score",
+    "boilerplate_ngrams",
+    "mix_sources",
+    "khop_reachability",
 ]
 
 
@@ -149,6 +153,13 @@ def main(names: list[str]) -> None:
         "  fewer_exchanges).",
         "- `pushdown: —` is expected for queries whose first operator is a",
         "  full aggregation (no filter to push).",
+        "- khop_reachability's all-zero row is correct, not missing data:",
+        "  the BFS materializes each frontier with an eager localCheckpoint",
+        "  (every frontier feeds three consumers; lazy composition would",
+        "  re-run level d once per later level — measured 33 exchanges for",
+        "  k=3 vs ~3 per level materialized), so the audited final plan is",
+        "  a union over checkpointed leaves and the per-level joins ran in",
+        "  their own jobs.",
         "- dedup_clusters's single SMJ is deliberate: the docs ⨝ components",
         "  join's build side (every doc appearing in a near-dup pair) is NOT",
         "  provably bounded, so the spill-safe sort-merge strategy is left to",
