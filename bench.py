@@ -47,6 +47,9 @@ def main() -> None:
         "minhash_dedup",
         "lsh_ann",
         "cosine_topk",
+        "lm_bigram_score",
+        "boilerplate_ngrams",
+        "khop_reachability",
         "streaming_windowed_counts",
     ]
     # best-of-N per query: this host shows ~27% run-to-run spread

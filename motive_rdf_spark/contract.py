@@ -574,6 +574,21 @@ def khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return khop_min_dist(t, seeds, k=3)
 
 
+from motive_rdf_spark.operators.pagerank import pagerank_sql as _pr_sql
+
+
+@q("pagerank_entities", _pr_sql(TRIPLES_CTE, iterations=3))
+def pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity importance: 3-iteration damped PageRank over the KG's
+    distinct adjacency (operators/pagerank.py — one join + map-side-
+    combined sum per iteration, rank vector localCheckpoint'd so
+    iteration t never replays 1..t-1). N-scaled ranks; the oracle is
+    the same recurrence unrolled into chained CTEs."""
+    from motive_rdf_spark.operators.pagerank import pagerank
+
+    return pagerank(_triples(spark, sf_dir), iterations=3)
+
+
 @q(
     "degree_codelength_terms",
     TRIPLES_CTE

@@ -701,3 +701,46 @@ def test_khop_min_dist_tiny_graph(spark):
         for r in khop_min_dist(triples, seeds, k=3, preds=[0]).collect()
     }
     assert only_a == {1: 0, 2: 1, 3: 2, 4: 3}
+
+
+def test_pagerank_hand_computed_and_multi_edge_dedup(spark):
+    """Two damped iterations on a 3-node graph, checked against the
+    closed-form recurrence; a parallel (s,o) edge under a second
+    predicate must not change anything (rank flows over the distinct
+    adjacency)."""
+    from motive_rdf_spark.operators.pagerank import pagerank
+
+    # 1 -> 2, 1 -> 3, 2 -> 3 (+ duplicate 1->2 under predicate 7)
+    triples = spark.createDataFrame(
+        [(1, 0, 2), (1, 0, 3), (2, 0, 3), (1, 7, 2)],
+        "s long, p long, o long",
+    )
+    got = {
+        r["node"]: r["rank_n"]
+        for r in pagerank(triples, iterations=2, round_to=None).collect()
+    }
+    # N-scaled: r0 = 1; odeg(1)=2, odeg(2)=1
+    # r1: n1 = 0.15, n2 = 0.15 + 0.85*0.5, n3 = 0.15 + 0.85*1.5
+    # r2: n2 = 0.15 + 0.85*(0.15/2), n3 = 0.15 + 0.85*(0.15/2 + 0.575)
+    assert abs(got[1] - 0.15) < 1e-12
+    assert abs(got[2] - (0.15 + 0.85 * 0.075)) < 1e-12
+    assert abs(got[3] - (0.15 + 0.85 * (0.075 + 0.575))) < 1e-12
+
+
+def test_pagerank_matches_sql_twin_on_testdata(spark):
+    """Value-exact (at ROUND 4) vs the unrolled-CTE oracle on the
+    TPC-H KG at the smallest SF."""
+    from motive_rdf_spark.kg_tpch import TRIPLES_CTE, triples_view
+    from motive_rdf_spark.operators.pagerank import pagerank, pagerank_sql
+
+    got = sorted(
+        (r["node"], r["rank_n"])
+        for r in pagerank(triples_view(spark, SF_SMALL), iterations=3).collect()
+    )
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem".split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMALL}/{t}.parquet')"
+        )
+    want = sorted(map(tuple, con.execute(pagerank_sql(TRIPLES_CTE, 3)).fetchall()))
+    assert got == want

@@ -40,6 +40,7 @@ AUDITED = [
     "boilerplate_ngrams",
     "mix_sources",
     "khop_reachability",
+    "pagerank_entities",
 ]
 
 
@@ -153,13 +154,15 @@ def main(names: list[str]) -> None:
         "  fewer_exchanges).",
         "- `pushdown: —` is expected for queries whose first operator is a",
         "  full aggregation (no filter to push).",
-        "- khop_reachability's all-zero row is correct, not missing data:",
-        "  the BFS materializes each frontier with an eager localCheckpoint",
-        "  (every frontier feeds three consumers; lazy composition would",
-        "  re-run level d once per later level — measured 33 exchanges for",
-        "  k=3 vs ~3 per level materialized), so the audited final plan is",
-        "  a union over checkpointed leaves and the per-level joins ran in",
-        "  their own jobs.",
+        "- khop_reachability's and pagerank_entities' all-zero rows are",
+        "  correct, not missing data: both iterative operators materialize",
+        "  each level/iteration with an eager localCheckpoint (the frontier/",
+        "  rank vector feeds multiple consumers; lazy composition would",
+        "  re-run iteration t once per later iteration — measured 33",
+        "  exchanges for k=3 lazy khop vs ~3 per level materialized), so",
+        "  the audited final plan is a selection over checkpointed leaves",
+        "  and the per-iteration join + combine-enabled sum ran in their",
+        "  own jobs.",
         "- dedup_clusters's single SMJ is deliberate: the docs ⨝ components",
         "  join's build side (every doc appearing in a near-dup pair) is NOT",
         "  provably bounded, so the spill-safe sort-merge strategy is left to",
