@@ -513,6 +513,20 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_fraction(_t(spark, sf_dir, "documents"))
 
 
+from motive_rdf_spark.operators.dedup import max_dup_ngram_run_sql as _mdr_sql
+
+
+@q("max_dup_span", _mdr_sql(n=4))
+def max_dup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-dedup signal: longest run of consecutive word
+    4-grams each shared with another document (a run of r = a
+    duplicated span of r+3 tokens). Inverted-index join + per-doc
+    gaps-and-islands window (operators/dedup.max_dup_ngram_run)."""
+    from motive_rdf_spark.operators.dedup import max_dup_ngram_run
+
+    return max_dup_ngram_run(_t(spark, sf_dir, "documents"), n=4)
+
+
 @q(
     "embedding_norm",
     """SELECT vec_id, ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 4) AS l2
@@ -1162,6 +1176,43 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         # the memory sink holds the results; the drained checkpoint is
         # scratch (ADVICE r2: don't accumulate /tmp dirs per run)
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
+
+
+@q(
+    "streaming_dedup",
+    """SELECT DISTINCT sha256(text) AS content_sha, n_chars FROM documents""",
+)
+def streaming_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (incremental corpus ingest): stateful
+    dropDuplicates keyed by content sha256, drained with AvailableNow.
+    The surviving content SET is the deterministic contract — which
+    duplicate doc_id wins is an ingest race by nature, so the output
+    projects content-derived columns only (streaming/incremental.py)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from motive_rdf_spark.streaming.incremental import (
+        stream_documents,
+        streaming_dedup,
+    )
+
+    name = f"sdd_{uuid.uuid4().hex[:8]}"
+    deduped = streaming_dedup(stream_documents(spark, sf_dir))
+    ckpt = tempfile.mkdtemp(prefix="sdd_ckpt_")
+    try:
+        q_ = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    finally:
         shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
 

@@ -25,7 +25,7 @@ which bounds every bucket; AQE skew-join covers the residue.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # ---------------------------------------------------------------------------
 # shingling
@@ -377,3 +377,109 @@ def dedup_clusters(
         )
         .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span signal: longest run of cross-document n-grams
+# ---------------------------------------------------------------------------
+
+
+def max_dup_ngram_run(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring-dedup signal (the Lee et al. "deduplicating
+    training data" span criterion, as a per-document score): the
+    length, in n-gram positions, of the longest run of CONSECUTIVE
+    n-grams that each also appear in some other document. A doc whose
+    max run is r contains a duplicated substring of r+n-1 tokens; span
+    removal thresholds on this. 0 = no cross-document n-gram at all.
+
+    Scale shape: positional n-grams (explode) -> cross-doc gram set
+    (distinct-doc DF >= 2: two partial-aggregatable groupBys) -> left-
+    semi join back -> per-document gaps-and-islands window. The window
+    partitions by doc_id — per-doc work, never a global sort; the
+    gram join is the same inverted-index shape as ngram_jaccard.
+    """
+    w = F.col("__w")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(1, n + 1)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos_grams = (
+        docs.select(F.col(id_col), F.split(F.col(text_col), r"\s+").alias("__w"))
+        .select(F.col(id_col), F.posexplode(grams).alias("pos", "gram"))
+    )
+    # grams appearing in >= 2 distinct documents
+    cross = (
+        pos_grams.select(id_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gram")
+    )
+    flagged = pos_grams.join(cross, "gram", "left_semi")
+    # gaps-and-islands: consecutive positions share (pos - row_number)
+    win = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        flagged.withColumn("__grp", F.col("pos") - F.row_number().over(win))
+        .groupBy(id_col, "__grp")
+        .agg(F.count("*").alias("run"))
+        .groupBy(id_col)
+        .agg(F.max("run").alias("max_dup_run"))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(runs, id_col, "left")
+        .select(
+            id_col, F.coalesce(F.col("max_dup_run"), F.lit(0)).cast("long").alias("max_dup_run")
+        )
+    )
+
+
+def max_dup_ngram_run_sql(
+    table: str = "documents",
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """ANSI-SQL twin of :func:`max_dup_ngram_run` (DuckDB list ops +
+    window gaps-and-islands), regex tokenizer matching \\s+."""
+    gram = " || ' ' || ".join(["x"] + [f"w[i+{j}]" for j in range(1, n)])
+    return rf"""
+WITH toks AS (
+  SELECT {id_col}, string_split_regex({text_col}, '\s+') AS w FROM {table}
+), pg AS (
+  SELECT {id_col}, u['g'] AS gram, u['i'] AS pos FROM (
+    SELECT {id_col},
+           unnest(CASE WHEN len(w) >= {n}
+                       THEN list_transform(w[1:len(w)-{n - 1}],
+                            (x, i) -> {{'g': {gram}, 'i': i}})
+                       ELSE CAST([] AS STRUCT(g VARCHAR, i BIGINT)[]) END) AS u
+    FROM toks)
+), cross_grams AS (
+  SELECT gram FROM (
+    SELECT gram, COUNT(*) AS df FROM (SELECT DISTINCT {id_col}, gram FROM pg)
+    GROUP BY gram) WHERE df >= 2
+), flagged AS (
+  SELECT pg.{id_col}, pg.pos FROM pg JOIN cross_grams USING (gram)
+), runs AS (
+  SELECT {id_col}, MAX(run) AS max_dup_run FROM (
+    SELECT {id_col}, COUNT(*) AS run FROM (
+      SELECT {id_col}, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY {id_col} ORDER BY pos) AS grp
+      FROM flagged)
+    GROUP BY {id_col}, grp)
+  GROUP BY {id_col}
+)
+SELECT d.{id_col}, CAST(COALESCE(r.max_dup_run, 0) AS BIGINT) AS max_dup_run
+FROM {table} d LEFT JOIN runs r ON d.{id_col} = r.{id_col}
+"""

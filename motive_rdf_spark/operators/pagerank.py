@@ -51,13 +51,24 @@ def pagerank(
         .unionAll(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    if materialize:
-        nodes = nodes.localCheckpoint(eager=True)
     # out-degree rides on the edge list so each iteration is one join
     out_deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
     edges_d = edges.join(out_deg, "src")
+    to_unpersist = []
     if materialize:
-        edges_d = edges_d.localCheckpoint(eager=True)
+        # persist (NOT localCheckpoint) after an explicit hash
+        # repartition on the join key: a cached InMemoryRelation keeps
+        # its outputPartitioning, so every iteration's join shuffles
+        # ONLY the rank vector — k fewer full-edge-table exchanges
+        # (localCheckpoint drops partitioning; measured 3 vs 2
+        # exchanges per iteration). Same for nodes on the groupBy key.
+        shuf = int(
+            triples.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        nodes = nodes.repartition(shuf, "node").persist()
+        edges_d = edges_d.repartition(shuf, "src").persist()
+        to_unpersist += [nodes, edges_d]
+        edges_d.count()
 
     n_nodes = nodes.count() if materialize else None
     if materialize:
@@ -88,6 +99,10 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=True)
     if round_to is not None:
         ranks = ranks.select("node", F.round("rank_n", round_to).alias("rank_n"))
+    # the returned plan reads only the last iteration's checkpoint, so
+    # the internal edge/node caches can be released immediately
+    for df in to_unpersist:
+        df.unpersist()
     return ranks
 
 

@@ -49,6 +49,16 @@ def khop_min_dist(
     if preds is not None:
         edges = edges.filter(F.col("p").isin([int(p) for p in preds]))
     edges = edges.select(F.col("s").alias("node"), F.col("o").alias("nxt"))
+    if materialize and k > 1:
+        # persist the edge table hash-partitioned on the join key: a
+        # cached InMemoryRelation keeps its outputPartitioning (a
+        # localCheckpoint does not — measured), so every level's join
+        # shuffles only the frontier, not the edges — k-1 fewer
+        # full-edge exchanges
+        shuf = int(
+            triples.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        edges = edges.repartition(shuf, "node").persist()
 
     frontier = seeds.select(F.col("node").cast("long")).distinct()
     if materialize:
@@ -73,4 +83,7 @@ def khop_min_dist(
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionAll(lv)
+    if materialize and k > 1:
+        # every level is checkpointed, so the edge cache can go now
+        edges.unpersist()
     return out

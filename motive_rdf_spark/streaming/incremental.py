@@ -58,7 +58,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(stage, exist_ok=True)
         link = os.path.join(stage, "events-000.parquet")
         if not os.path.exists(link):
-            os.symlink(src, link)
+            try:
+                os.symlink(src, link)
+            except FileExistsError:
+                pass  # concurrent process staged it first — same target
         path = stage
     return spark.readStream.schema(EVENT_SCHEMA).format("parquet").load(path)
 
@@ -134,3 +137,54 @@ def streaming_sessionize(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming exact dedup: first-seen content wins, state keyed by hash
+# ---------------------------------------------------------------------------
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (explicit schema),
+    staged exactly like ``stream_events``."""
+    import hashlib
+    import os
+
+    src = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(src):
+        path = src
+    else:
+        stage = os.path.join(
+            "/tmp", "motive_rdf_stream", hashlib.md5(src.encode()).hexdigest()[:12]
+        )
+        os.makedirs(stage, exist_ok=True)
+        link = os.path.join(stage, "documents-000.parquet")
+        if not os.path.exists(link):
+            try:
+                os.symlink(src, link)
+            except FileExistsError:
+                pass  # concurrent process staged it first — same target
+        path = stage
+    return spark.readStream.schema(DOC_SCHEMA).format("parquet").load(path)
+
+
+def streaming_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming exact deduplication for incremental corpus ingest:
+    content arriving with a sha256 already seen in ANY earlier
+    micro-batch is dropped by ``dropDuplicates`` state (keyed by the
+    hash — state size = number of distinct contents, sharded across
+    the shuffle partitions like any keyed state).
+
+    The output projects only content-derived columns (hash + length),
+    NOT the arbitrary surviving doc_id: which duplicate arrives first
+    is a race in any distributed ingest, so the deterministic contract
+    — and the one the batch oracle can check — is the surviving
+    content *set*. Works identically on a batch frame (state-free
+    distinct) — the streaming==batch equivalence test's property.
+    """
+    proj = docs.select(
+        F.sha2(F.col(text_col), 256).alias("content_sha"), F.col("n_chars")
+    )
+    return proj.dropDuplicates(["content_sha"])

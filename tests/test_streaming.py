@@ -99,3 +99,63 @@ def test_streaming_extraction_incremental_equals_batch(spark, tmp_path):
     run_extract_stream(spark, src_dir, out_dir)
     assert load_string_triples(spark, out_dir).count() == n_before
     full.unpersist()
+
+
+def test_streaming_dedup_state_spans_microbatches(spark, tmp_path):
+    """A duplicate arriving in a LATER micro-batch must be dropped by
+    the dedup state, not just within-batch distinct: drop file 1,
+    drain, drop file 2 (one dup + one new), drain again — the second
+    run must emit only the genuinely new content."""
+    from motive_rdf_spark.streaming.incremental import DOC_SCHEMA, streaming_dedup
+
+    src_dir = tmp_path / "drop"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(fname, rows):
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / fname))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / fname / "part-*.parquet"))[0]
+        shutil.copy(part, str(src_dir / f"{fname}.parquet"))
+
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        # file sink (not memory): only file sinks support resuming from
+        # the checkpoint, which is exactly what this test exercises
+        stream = spark.readStream.schema(DOC_SCHEMA).parquet(str(src_dir))
+        q = (
+            streaming_dedup(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["content_sha"] for r in spark.read.parquet(out_dir).collect()}
+
+    write_batch("b1", [(1, "alpha text", "en", "s", 10), (2, "beta text", "en", "s", 9)])
+    first = drain()
+    assert len(first) == 2
+
+    # second drop: doc 3 duplicates doc 1's content; doc 4 is new
+    write_batch("b2", [(3, "alpha text", "en", "s", 10), (4, "gamma text", "en", "s", 10)])
+    both = drain()
+    # the duplicate was dropped by state carried across the restart:
+    # exactly one new content appears
+    assert len(both) == 3 and first < both
+
+    # and the total equals the batch-distinct set over all four docs
+    batch = spark.createDataFrame(
+        [(1, "alpha text", "en", "s", 10), (2, "beta text", "en", "s", 9),
+         (3, "alpha text", "en", "s", 10), (4, "gamma text", "en", "s", 10)],
+        DOC_SCHEMA,
+    )
+    exp = {r["content_sha"] for r in streaming_dedup(batch).collect()}
+    assert both == exp

@@ -744,3 +744,24 @@ def test_pagerank_matches_sql_twin_on_testdata(spark):
         )
     want = sorted(map(tuple, con.execute(pagerank_sql(TRIPLES_CTE, 3)).fetchall()))
     assert got == want
+
+
+def test_max_dup_ngram_run_hand_computed(spark):
+    """Two docs share a 6-token span (= run of 3 4-grams); a third doc
+    shares nothing. Runs and zeros hand-checked."""
+    from motive_rdf_spark.operators.dedup import max_dup_ngram_run
+
+    shared = "one two three four five six"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} aaa bbb ccc"),
+            (2, f"xxx yyy {shared} zzz"),
+            (3, "totally different words here only once"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["max_dup_run"]
+        for r in max_dup_ngram_run(docs, n=4).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 0}

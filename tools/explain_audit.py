@@ -41,6 +41,7 @@ AUDITED = [
     "mix_sources",
     "khop_reachability",
     "pagerank_entities",
+    "max_dup_span",
 ]
 
 
