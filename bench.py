@@ -49,7 +49,9 @@ def main() -> None:
         "cosine_topk",
         "lm_bigram_score",
         "boilerplate_ngrams",
+        "max_dup_span",
         "khop_reachability",
+        "pagerank_entities",
         "streaming_windowed_counts",
     ]
     # best-of-N per query: this host shows ~27% run-to-run spread

@@ -31,7 +31,7 @@ operators/paths.khop_min_dist — measured there).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def pagerank(
@@ -45,38 +45,45 @@ def pagerank(
     ``rank_n`` is the rank scaled by N (mean 1.0) — scale-free across
     graph sizes and numerically robust to ROUND for the value oracle.
     ``round_to=None`` skips rounding (library use)."""
-    edges = triples.select(F.col("s").alias("src"), F.col("o").alias("dst")).distinct()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .unionAll(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    # out-degree rides on the edge list so each iteration is one join
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
-    edges_d = edges.join(out_deg, "src")
+    proj = triples.select(F.col("s").alias("src"), F.col("o").alias("dst"))
     to_unpersist = []
     if materialize:
-        # persist (NOT localCheckpoint) after an explicit hash
-        # repartition on the join key: a cached InMemoryRelation keeps
-        # its outputPartitioning, so every iteration's join shuffles
-        # ONLY the rank vector — k fewer full-edge-table exchanges
-        # (localCheckpoint drops partitioning; measured 3 vs 2
-        # exchanges per iteration). Same for nodes on the groupBy key.
+        # ONE exchange builds the whole iteration-ready edge cache:
+        # hash-repartition on src first, then dedupe and compute the
+        # out-degree INSIDE that partitioning — HashPartitioning(src)
+        # satisfies the (src, dst) clustering the dedup needs and the
+        # src clustering the window needs, so neither re-shuffles
+        # (the naive distinct -> groupBy -> join -> repartition chain
+        # is 4 exchanges for the same result). persist (NOT
+        # localCheckpoint — it drops partitioning, measured) keeps the
+        # cached outputPartitioning, so every iteration's join
+        # shuffles only the rank vector.
         shuf = int(
             triples.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
-        nodes = nodes.repartition(shuf, "node").persist()
-        edges_d = edges_d.repartition(shuf, "src").persist()
-        to_unpersist += [nodes, edges_d]
+        edges_d = (
+            proj.repartition(shuf, "src")
+            .dropDuplicates(["src", "dst"])
+            .withColumn("odeg", F.count("*").over(Window.partitionBy("src")))
+            .persist()
+        )
         edges_d.count()
-
-    n_nodes = nodes.count() if materialize else None
-    if materialize:
-        n_lit = F.lit(float(n_nodes))
+        nodes = (
+            edges_d.select(F.col("src").alias("node"))
+            .unionAll(edges_d.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
+        )
+        to_unpersist += [nodes, edges_d]
     else:
-        # lazy variant: N joins in as a broadcast 1-row aggregate
-        n_df = nodes.agg(F.count("*").cast("double").alias("__n"))
-        n_lit = F.col("__n")
+        edges = proj.distinct()
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .unionAll(edges.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        out_deg = edges.groupBy("src").agg(F.count("*").alias("odeg"))
+        edges_d = edges.join(out_deg, "src")
 
     # work in N-scaled space throughout: r_scaled = r * N, so
     # r0_scaled = 1 and the teleport term is (1 - d), independent of N
