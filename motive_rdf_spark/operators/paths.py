@@ -2,7 +2,7 @@
 SPARQL 1.1 property-path analog (``p{1,k}`` / ``(:a/:b/:c){,k}``) the
 reference's point-lookup layer (Graph.get / containment,
 SimpleGraphs.java) answers one hop at a time; here it is a set-at-a-time
-frontier BFS so the whole k-hop closure is ONE Spark plan.
+frontier BFS, one distributed job per level.
 
 Scale design: classic distributed BFS —
 

@@ -765,3 +765,23 @@ def test_max_dup_ngram_run_hand_computed(spark):
         for r in max_dup_ngram_run(docs, n=4).collect()
     }
     assert got == {1: 3, 2: 3, 3: 0}
+
+
+def test_pagerank_and_khop_lazy_mode_equals_materialized(spark):
+    """materialize=False (single lazy plan) must produce identical
+    results to the checkpointing path on both iterative operators."""
+    from motive_rdf_spark.operators.pagerank import pagerank
+    from motive_rdf_spark.operators.paths import khop_min_dist
+
+    triples = spark.createDataFrame(
+        [(1, 0, 2), (1, 0, 3), (2, 0, 3), (3, 1, 4), (5, 0, 1)],
+        "s long, p long, o long",
+    )
+    a = sorted(map(tuple, pagerank(triples, 2).collect()))
+    b = sorted(map(tuple, pagerank(triples, 2, materialize=False).collect()))
+    assert a == b
+
+    seeds = spark.createDataFrame([(5,)], "node long")
+    ka = sorted(map(tuple, khop_min_dist(triples, seeds, 3).collect()))
+    kb = sorted(map(tuple, khop_min_dist(triples, seeds, 3, materialize=False).collect()))
+    assert ka == kb
