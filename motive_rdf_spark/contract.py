@@ -982,6 +982,32 @@ def mix_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CODEQ_ROWS = 400
+
+
+@q("code_quality", _orc.code_quality_sql(_CODEQ_ROWS))
+def code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarCoder-style code-quality filter over the synthesized varied
+    source-file corpus (operators/codequality.py): line-shape metrics +
+    keep/drop with a reason bitmask. Oracle reconstructs the corpus
+    byte-for-byte (md5 hash mode) and recomputes every metric in SQL."""
+    from motive_rdf_spark.data.generators import code_corpus_table
+    from motive_rdf_spark.operators.codequality import code_quality_filter
+
+    src = code_corpus_table(spark, _CODEQ_ROWS, hash_fn="md5")
+    return code_quality_filter(src).select(
+        "file_id",
+        "n_lines",
+        "max_line_len",
+        "avg_line_len",
+        "comment_frac",
+        "alnum_frac",
+        "is_autogen",
+        "reasons",
+        "keep",
+    )
+
+
 _DECONTAMINATE_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -400,3 +400,63 @@ SELECT d.doc_id,
        COALESCE(c.component, d.doc_id) AS cluster_id,
        d.doc_id = COALESCE(c.component, d.doc_id) AS is_canonical
 FROM {table} d LEFT JOIN comp c ON c.node = d.doc_id"""
+
+
+def code_quality_sql(rows: int, seed: int = 42) -> str:
+    """Reconstruct ``code_corpus_table(rows, hash_fn="md5")`` byte-for-
+    byte and recompute the code-quality metrics + reason bitmask with
+    independent SQL (operators/codequality.py semantics)."""
+    mods = ", ".join(f"'{x}'" for x in MODULES)
+    return f"""WITH p0 AS (
+  SELECT k,
+    CAST({_pick(2, len(MODULES), seed)} AS INT) AS mod_i,
+    CAST({_pick(11, 4, seed)} AS INT) AS n_com,
+    CAST({_pick(12, 180, seed)} + 5 AS INT) AS long_len
+  FROM generate_series(0, {rows - 1}) t(k)
+),
+src AS (
+  SELECT k,
+    concat_ws(chr(10),
+      CASE WHEN k % 17 = 0 THEN '# AUTOGENERATED - DO NOT EDIT' END,
+      'import ' || ([{mods}])[mod_i + 1],
+      CASE WHEN n_com > 0
+           THEN rtrim(repeat('# note' || chr(10), n_com), chr(10)) END,
+      'def f' || k || '(x):',
+      '    return x + ' || k,
+      repeat('x', long_len)
+    ) AS content
+  FROM p0
+),
+m AS (
+  SELECT k AS file_id,
+    len(lines) AS n_lines,
+    list_max(list_transform(lines, l -> length(l))) AS max_line_len,
+    list_aggregate(list_transform(lines, l -> length(l)), 'sum') AS body_chars,
+    len(list_filter(lines, l -> starts_with(ltrim(l), '#')
+                             OR starts_with(ltrim(l), '//'))) AS n_comment,
+    length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) AS alnum,
+    length(content) AS n_chars,
+    contains(content, 'DO NOT EDIT') AS is_autogen
+  FROM (SELECT k, content, string_split(content, chr(10)) AS lines FROM src)
+),
+rounded AS (
+  SELECT file_id,
+    CAST(n_lines AS BIGINT) AS n_lines,
+    CAST(max_line_len AS BIGINT) AS max_line_len,
+    ROUND(CAST(body_chars AS DOUBLE) / n_lines, 4) AS avg_line_len,
+    ROUND(CAST(n_comment AS DOUBLE) / n_lines, 4) AS comment_frac,
+    ROUND(CAST(alnum AS DOUBLE) / n_chars, 4) AS alnum_frac,
+    is_autogen
+  FROM m
+),
+scored AS (
+  -- the decision reads the ROUNDED metrics, exactly like the Spark side
+  SELECT *,
+    CAST((CASE WHEN is_autogen THEN 1 ELSE 0 END)
+       + (CASE WHEN max_line_len > 120 THEN 2 ELSE 0 END)
+       + (CASE WHEN comment_frac > 0.35 THEN 4 ELSE 0 END)
+       + (CASE WHEN alnum_frac < 0.25 THEN 8 ELSE 0 END)
+       AS INT) AS reasons
+  FROM rounded
+)
+SELECT *, reasons = 0 AS keep FROM scored ORDER BY file_id"""
