@@ -52,6 +52,9 @@ def main() -> None:
         "max_dup_span",
         "khop_reachability",
         "pagerank_entities",
+        "winnow_profile",
+        "bm25_retrieval",
+        "centroid_cosine",
         "streaming_windowed_counts",
     ]
     # best-of-N per query: this host shows ~27% run-to-run spread

@@ -1008,6 +1008,88 @@ def code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINES_ROWS = 300
+_WINNOW_ROWS = 200
+
+
+def _register_code_corpus_entries() -> None:
+    """Register the line-level / winnowing entries whose oracles share
+    the code-corpus reconstruction CTE (oracles.code_corpus_cte)."""
+    from motive_rdf_spark.oracles import code_corpus_cte
+    from motive_rdf_spark.operators.lines import (
+        line_dedup,
+        line_dedup_sql,
+        line_repetition,
+        line_repetition_sql,
+    )
+    from motive_rdf_spark.operators.winnow import winnow_profile, winnow_profile_sql
+
+    @q("line_dedup", line_dedup_sql(code_corpus_cte(_LINES_ROWS), min_df=2))
+    def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Cross-document line dedup (RefinedWeb recipe) over the varied
+        code corpus: strip lines shared by >= 2 files, reassemble in
+        order (operators/lines.py). Oracle reconstructs the corpus
+        byte-for-byte and re-runs the rule in SQL."""
+        from motive_rdf_spark.data.generators import code_corpus_table
+
+        src = code_corpus_table(spark, _LINES_ROWS, hash_fn="md5")
+        return line_dedup(src, min_df=2)
+
+    @q("line_repetition", line_repetition_sql(code_corpus_cte(_LINES_ROWS)))
+    def line_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gopher-style within-document line-repetition metrics
+        (duplicate-line fraction + duplicate-line char fraction) over
+        the varied code corpus (operators/lines.py)."""
+        from motive_rdf_spark.data.generators import code_corpus_table
+
+        src = code_corpus_table(spark, _LINES_ROWS, hash_fn="md5")
+        return line_repetition(src)
+
+    @q("winnow_profile", winnow_profile_sql(code_corpus_cte(_WINNOW_ROWS), k=8, w=4))
+    def winnow_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MOSS winnowing fingerprint profile (char 8-grams, window 4;
+        portable md5 hash family) over the varied code corpus: per-file
+        fingerprint count + cross-file shared fraction — the code
+        clone-detection signal (operators/winnow.py)."""
+        from motive_rdf_spark.data.generators import code_corpus_table
+
+        src = code_corpus_table(spark, _WINNOW_ROWS, hash_fn="md5")
+        return winnow_profile(src, k=8, w=4)
+
+
+_register_code_corpus_entries()
+
+_BM25_TERMS = ["table", "hash", "window"]
+
+from motive_rdf_spark.operators.retrieval import bm25_sql as _bm25_sql  # noqa: E402
+
+
+@q("bm25_retrieval", _bm25_sql(_BM25_TERMS))
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scores of every document matching the fixed 3-term query
+    (operators/retrieval.py) — corpus-level stats (df/N/avgdl) joined
+    by broadcast, zero corpus-wide shuffles."""
+    from motive_rdf_spark.operators.retrieval import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
+from motive_rdf_spark.operators.similarity import (  # noqa: E402
+    centroid_cosine_sql as _cc_sql,
+)
+
+
+@q("centroid_cosine", _cc_sql(outlier_below=0.1))
+def centroid_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine of each embedding to its label-group centroid + outlier
+    flag (operators/similarity.centroid_cosine): the domain-coherence
+    curation signal. Centroids are a (groups x dim)-sized aggregate
+    broadcast back — no crossJoin, no window."""
+    from motive_rdf_spark.operators.similarity import centroid_cosine
+
+    return centroid_cosine(_t(spark, sf_dir, "embeddings"), outlier_below=0.1)
+
+
 _DECONTAMINATE_SQL = """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -380,3 +380,87 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def centroid_cosine(
+    emb: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    outlier_below: float = 0.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-cluster coherence / outlier filter: cosine of every
+    vector to its group's centroid (elementwise mean) — the standard
+    "distance to domain centroid" curation signal (drop or down-weight
+    embeddings that do not belong to their labeled cluster).
+
+    Returns DataFrame[id_col, group_col, cos_centroid,
+    is_outlier = cos_centroid < outlier_below].
+
+    Scale design: one posexplode (narrow, dim rows per vector) → the
+    centroid is a partial-aggregatable groupBy on (group, dim) — at
+    most |groups|·dim rows, so the join back is a broadcast; the
+    per-vector reduction is a single groupBy on the vector id. No
+    crossJoin, no window, no Python. The 4dp ROUND also absorbs
+    double-summation order differences across partitionings.
+    """
+    pos = emb.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    cent = pos.groupBy(group_col, "dim").agg(F.avg("x").alias("c"))
+    cnorm = cent.groupBy(group_col).agg(
+        F.sum(F.col("c") * F.col("c")).alias("cc")
+    )
+    per = (
+        pos.join(F.broadcast(cent), [group_col, "dim"])
+        .groupBy(id_col, group_col)
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sum(F.col("x") * F.col("x")).alias("xx"),
+        )
+    )
+    cos = F.col("dot") / (F.sqrt(F.col("xx")) * F.sqrt(F.col("cc")))
+    return (
+        per.join(F.broadcast(cnorm), group_col)
+        .select(
+            id_col,
+            group_col,
+            F.round(cos, round_to).alias("cos_centroid"),
+        )
+        .withColumn("is_outlier", F.col("cos_centroid") < outlier_below)
+    )
+
+
+def centroid_cosine_sql(
+    table: str = "embeddings",
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    outlier_below: float = 0.0,
+    round_to: int = 4,
+) -> str:
+    """DuckDB twin of :func:`centroid_cosine` (ordinality via the
+    two-arg list_transform lambda)."""
+    return f"""
+WITH pos AS (
+  SELECT {id_col}, {group_col}, u.dim, u.x FROM (
+    SELECT {id_col}, {group_col},
+           unnest(list_transform(CAST({vec_col} AS DOUBLE[]),
+                                 (x, i) -> {{'dim': i, 'x': x}})) AS u
+    FROM {table})
+), cent AS (
+  SELECT {group_col}, dim, AVG(x) AS c FROM pos GROUP BY {group_col}, dim
+), cnorm AS (
+  SELECT {group_col}, SUM(c * c) AS cc FROM cent GROUP BY {group_col}
+), per AS (
+  SELECT {id_col}, pos.{group_col}, SUM(x * c) AS dot, SUM(x * x) AS xx
+  FROM pos JOIN cent ON cent.{group_col} = pos.{group_col} AND cent.dim = pos.dim
+  GROUP BY {id_col}, pos.{group_col}
+)
+SELECT {id_col}, per.{group_col},
+       ROUND(dot / (sqrt(xx) * sqrt(cc)), {round_to}) AS cos_centroid,
+       ROUND(dot / (sqrt(xx) * sqrt(cc)), {round_to}) < {outlier_below} AS is_outlier
+FROM per JOIN cnorm ON cnorm.{group_col} = per.{group_col}"""

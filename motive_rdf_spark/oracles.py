@@ -402,12 +402,13 @@ SELECT d.doc_id,
 FROM {table} d LEFT JOIN comp c ON c.node = d.doc_id"""
 
 
-def code_quality_sql(rows: int, seed: int = 42) -> str:
-    """Reconstruct ``code_corpus_table(rows, hash_fn="md5")`` byte-for-
-    byte and recompute the code-quality metrics + reason bitmask with
-    independent SQL (operators/codequality.py semantics)."""
+def code_corpus_cte(rows: int, seed: int = 42) -> str:
+    """CTE bodies ``p0``/``src`` reconstructing
+    ``code_corpus_table(rows, hash_fn="md5")`` byte-for-byte
+    (``src`` has columns ``k`` = file_id and ``content``). Shared by
+    every oracle whose fixture is the varied code corpus."""
     mods = ", ".join(f"'{x}'" for x in MODULES)
-    return f"""WITH p0 AS (
+    return f"""p0 AS (
   SELECT k,
     CAST({_pick(2, len(MODULES), seed)} AS INT) AS mod_i,
     CAST({_pick(11, 4, seed)} AS INT) AS n_com,
@@ -426,7 +427,14 @@ src AS (
       repeat('x', long_len)
     ) AS content
   FROM p0
-),
+)"""
+
+
+def code_quality_sql(rows: int, seed: int = 42) -> str:
+    """Reconstruct ``code_corpus_table(rows, hash_fn="md5")`` byte-for-
+    byte and recompute the code-quality metrics + reason bitmask with
+    independent SQL (operators/codequality.py semantics)."""
+    return f"""WITH {code_corpus_cte(rows, seed)},
 m AS (
   SELECT k AS file_id,
     len(lines) AS n_lines,

@@ -785,3 +785,34 @@ def test_pagerank_and_khop_lazy_mode_equals_materialized(spark):
     ka = sorted(map(tuple, khop_min_dist(triples, seeds, 3).collect()))
     kb = sorted(map(tuple, khop_min_dist(triples, seeds, 3, materialize=False).collect()))
     assert ka == kb
+
+
+def test_centroid_cosine_hand_computed(spark):
+    from motive_rdf_spark.operators.similarity import centroid_cosine
+
+    rows = [
+        # group 0: two orthogonal unit vectors -> centroid (.5, .5),
+        # cos(v, c) = 0.5/(1 * sqrt(0.5)) = 0.7071 for both
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.0, 1.0]),
+        # group 1: singleton -> cos to own centroid = 1.0
+        (2, 1, [3.0, 4.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {r["vec_id"]: r.asDict() for r in centroid_cosine(df, outlier_below=0.8).collect()}
+    assert got[0]["cos_centroid"] == got[1]["cos_centroid"] == 0.7071
+    assert got[0]["is_outlier"] and got[1]["is_outlier"]
+    assert got[2]["cos_centroid"] == 1.0 and not got[2]["is_outlier"]
+
+
+def test_centroid_cosine_negative_outlier(spark):
+    from motive_rdf_spark.operators.similarity import centroid_cosine
+
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [1.0, 0.1]),
+        (2, 0, [-1.0, 0.0]),  # opposes the group direction
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {r["vec_id"]: r["cos_centroid"] for r in centroid_cosine(df).collect()}
+    assert got[2] < 0 < got[0]
