@@ -200,10 +200,18 @@ def cosine_near_dup_pairs(
         )
         a = a.withColumn("bucket", F.explode(probes))
         b = sk.select(F.col(id_col).alias("b"), F.col("_unit").alias("_bv"), "bucket")
-        pairs = (
+        # score in the bucket-join stage, THEN dedup: the dropDuplicates
+        # exchange then carries (a, b, sim) — 24 bytes — instead of two
+        # full unit vectors per candidate pair (same rationale as
+        # lsh_ann_topk; sim is deterministic per pair so dedup-after is
+        # value-identical)
+        sim0 = F.round(_dot(F.col("_av"), F.col("_bv")), 4)
+        return (
             a.join(b, "bucket")
             .filter(F.col("a") < F.col("b"))
+            .select("a", "b", sim0.alias("sim"))
             .dropDuplicates(["a", "b"])
+            .filter(F.col("sim") >= threshold)
         )
     # threshold the 4dp-ROUNDED similarity (same as the emitted value)
     # so the keep/drop decision is reproducible by any oracle computing
@@ -366,14 +374,17 @@ def lsh_ann_topk(
         )
         qs = qs.withColumn("bucket", F.explode(probes))
     cs = c.select(F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("_cv"), "bucket")
-    pairs = (
-        qs.join(cs, "bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    pairs = qs.join(cs, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    # score BEFORE deduplicating: a multi-probe pair can surface from
+    # several shared buckets, and dropDuplicates is a shuffle — scoring
+    # first means the exchange carries (query_id, neighbor_id, sim)
+    # instead of two full unit vectors per pair (2*dim*8 bytes -> 24).
+    # The redundant dot products are map-side JVM work, strictly cheaper
+    # than shipping the vectors; sim is identical per pair so the
+    # surviving row is the same either way.
     scored = pairs.select(
         "query_id", "neighbor_id", F.round(_dot(F.col("_qv"), F.col("_cv")), 4).alias("sim")
-    )
+    ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
