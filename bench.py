@@ -53,6 +53,8 @@ def main() -> None:
         "khop_reachability",
         "pagerank_entities",
         "winnow_profile",
+        "asof_join_events",
+        "range_join_events",
         "bm25_retrieval",
         "centroid_cosine",
         "streaming_windowed_counts",

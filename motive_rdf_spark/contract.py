@@ -315,9 +315,106 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from motive_rdf_spark.operators.temporal import (  # noqa: E402
+    asof_clicks_before_errors_sql as _asof_sql,
+    range_clicks_before_errors_sql as _range_sql,
+)
+
+
+@q("asof_join_events", _asof_sql())
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/temporal.py): for every error event, the
+    latest preceding click by the same user — union+window form, one
+    shuffle, zero joins. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from motive_rdf_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event")
+    )
+    j = asof_join(errors, clicks, key="user_id", ts="ts", build_cols=["click_event", "ts"])
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.col("asof_ts").cast("timestamp")
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("asof_click_event").alias("click_id"),
+        gap.alias("gap_us"),
+    )
+
+
+@q("range_join_events", _range_sql(3600))
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/temporal.py): clicks by the same
+    user in the hour before each error — candidate buckets via explode
+    to 2 window-quanta, exact filter after the equi-join; never a
+    theta/cross join. Oracle: plain BETWEEN join."""
+    from motive_rdf_spark.operators.temporal import range_join_count
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return range_join_count(
+        errors, clicks, key="user_id", ts="ts", window_sec=3600
+    ).select("event_id", "user_id", "n_in_range")
+
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+from motive_rdf_spark.operators.profile import (  # noqa: E402
+    column_profile_sql as _profile_sql,
+)
+
+
+@q("column_profile", _profile_sql("lineitem", _PROFILE_COLS))
+def column_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (operators/profile.py): count / nulls /
+    distinct / min / max / mean / exact p50 for four lineitem measures
+    in ONE aggregation pass (single-row combine, stack-unpivoted) —
+    no per-column scans, no melt shuffle."""
+    from motive_rdf_spark.operators.profile import column_profile
+
+    return column_profile(_t(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+
+
 # ---------------------------------------------------------------------------
 # Training-data ops: text analysis + dedup + similarity (documents/embeddings)
 # ---------------------------------------------------------------------------
+
+
+@q(
+    "word_entropy",
+    """SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 4) AS ttr,
+       ROUND(log2(CAST(SUM(c) AS DOUBLE)) - SUM(c * log2(CAST(c AS DOUBLE))) / SUM(c), 4) AS entropy
+FROM (
+  SELECT doc_id, tok, COUNT(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok)
+GROUP BY doc_id""",
+)
+def word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity signals: type-token ratio + Shannon entropy of
+    the token distribution per document (low entropy = repetitive /
+    templated text, a Gopher-style quality axis). Two partial-
+    aggregatable groupBys keyed (doc_id, token) then (doc_id) — no
+    per-doc array lambda, no reducer ever holds more than one
+    document's token multiset."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("tok"))
+    per_tok = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    n = F.sum("c")
+    ent = F.log2(n.cast("double")) - F.sum(F.col("c") * F.log2(F.col("c").cast("double"))) / n
+    return per_tok.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(F.count("*").cast("double") / n, 4).alias("ttr"),
+        F.round(ent, 4).alias("entropy"),
+    )
 
 
 @q(

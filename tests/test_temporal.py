@@ -1,0 +1,99 @@
+"""As-of join and bucketed range join: equivalence with the naive
+formulations, boundary semantics, and parallelism invariance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from motive_rdf_spark.operators.temporal import asof_join, range_join_count
+
+
+def _probe(spark):
+    # (key, ts, pid) — includes a key with no build rows (k=3) and ties
+    rows = [
+        (1, 100, 0), (1, 250, 1), (1, 50, 2),
+        (2, 100, 3), (2, 101, 4),
+        (3, 500, 5),
+    ]
+    return spark.createDataFrame(rows, "k long, t long, pid long").withColumn(
+        "t", F.timestamp_micros((F.col("t") * 1_000_000).cast("long"))
+    )
+
+
+def _build(spark):
+    rows = [
+        (1, 100, 10), (1, 200, 11), (1, 60, 12),
+        (2, 99, 13), (2, 101, 14),
+        (4, 1, 15),
+    ]
+    return spark.createDataFrame(rows, "k long, t long, bid long").withColumn(
+        "t", F.timestamp_micros((F.col("t") * 1_000_000).cast("long"))
+    )
+
+
+def test_asof_matches_naive_join(spark):
+    probe, build = _probe(spark), _build(spark)
+    got = {
+        r["pid"]: r["asof_bid"]
+        for r in asof_join(probe, build, "k", "t", ["bid"]).collect()
+    }
+    # naive: join on key + b.t <= p.t, keep max-t build row per probe
+    j = probe.join(build.withColumnRenamed("k", "bk").withColumnRenamed("t", "bt"),
+                   (F.col("k") == F.col("bk")) & (F.col("bt") <= F.col("t")), "left")
+    w = Window.partitionBy("pid").orderBy(F.desc_nulls_last("bt"))
+    naive = {
+        r["pid"]: r["bid"]
+        for r in j.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    }
+    assert got == naive
+    # boundary: probe at t=100 takes the build row AT 100 (inclusive)
+    assert got[0] == 10
+    # no preceding build row -> null
+    assert got[2] is None and got[5] is None
+
+
+def test_asof_probe_columns_pass_through(spark):
+    out = asof_join(_probe(spark), _build(spark), "k", "t", ["bid", "t"])
+    assert set(out.columns) == {"k", "t", "pid", "asof_bid", "asof_t"}
+    assert out.count() == 6
+
+
+def test_range_join_count_matches_naive(spark):
+    probe, build = _probe(spark), _build(spark)
+    got = {
+        r["pid"]: r["n"]
+        for r in range_join_count(probe, build, "k", "t", 100, "n").collect()
+    }
+    # naive theta join: [t - 100s, t)
+    pb = probe.select("pid", F.col("k").alias("pk"), F.unix_micros("t").alias("pt"))
+    bb = build.select(F.col("k").alias("bk"), F.unix_micros("t").alias("bt"))
+    naive_df = pb.join(
+        bb,
+        (F.col("pk") == F.col("bk"))
+        & (F.col("bt") >= F.col("pt") - 100_000_000)
+        & (F.col("bt") < F.col("pt")),
+        "left",
+    ).groupBy("pid").agg(F.count("bt").alias("n"))
+    naive = {r["pid"]: r["n"] for r in naive_df.collect()}
+    assert got == naive
+    # probe t=100: build rows in [0, 100) for k=1 -> t=60 only
+    assert got[2] == 0 and got[0] == 1
+    # exclusive upper bound: build at exactly probe.t does not count
+    assert got[4] == 1  # k=2, t=101: build 99 in [1,101), build 101 excluded
+
+
+@pytest.mark.parametrize("parts", [1, 7])
+def test_temporal_parallelism_invariant(spark, parts):
+    probe = _probe(spark).repartition(parts)
+    build = _build(spark).repartition(parts)
+    a = sorted(tuple(r) for r in asof_join(probe, build, "k", "t", ["bid"]).collect())
+    b = sorted(tuple(r) for r in range_join_count(probe, build, "k", "t", 100).collect())
+    a1 = sorted(tuple(r) for r in asof_join(_probe(spark), _build(spark), "k", "t", ["bid"]).collect())
+    b1 = sorted(tuple(r) for r in range_join_count(_probe(spark), _build(spark), "k", "t", 100).collect())
+    assert a == a1 and b == b1
+
+
+def test_asof_single_shuffle_no_join(spark):
+    plan = asof_join(_probe(spark), _build(spark), "k", "t", ["bid"])._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # union+window form, never a join
