@@ -42,6 +42,16 @@ AUDITED = [
     "khop_reachability",
     "pagerank_entities",
     "max_dup_span",
+    "line_dedup",
+    "line_repetition",
+    "winnow_profile",
+    "bm25_retrieval",
+    "centroid_cosine",
+    "code_quality",
+    "asof_join_events",
+    "range_join_events",
+    "column_profile",
+    "word_entropy",
 ]
 
 
