@@ -700,6 +700,29 @@ def pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_triples(spark, sf_dir), iterations=3)
 
 
+from motive_rdf_spark.operators.triangles import (  # noqa: E402
+    triangle_stats_sql as _tri_sql,
+)
+from motive_rdf_spark.oracles import planted_graph_cte as _pg_cte  # noqa: E402
+
+_TRI_DIMS = (300, 900, 5, 50, 7)  # n, m, r, k, seed
+
+
+@q("triangle_stats", _tri_sql(_pg_cte(*_TRI_DIMS)))
+def triangle_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + clustering coefficient over the
+    planted random graph, via degree-ordered edge orientation
+    (operators/triangles.py — O(m^1.5) wedge work, hub-skew-proof).
+    Oracle: naive id-ordered three-way self-join, same triangle set."""
+    from motive_rdf_spark.data.generators import planted_graph
+    from motive_rdf_spark.operators.triangles import triangle_stats
+
+    n, m, r, k, seed = _TRI_DIMS
+    tri_pat = [(-1, 0, -2), (-1, 1, -3), (-2, 2, -3)]
+    g = planted_graph(spark, n, m, r, tri_pat, k, seed=seed, hash_fn="md5")
+    return triangle_stats(g)
+
+
 @q(
     "degree_codelength_terms",
     TRIPLES_CTE

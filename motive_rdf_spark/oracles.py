@@ -329,21 +329,11 @@ SELECT media_id, modality, CAST(n_bytes AS BIGINT) AS n_bytes, ROUND(f0, 6) AS f
 FROM (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)"""
 
 
-def planted_support_sql(
-    n: int, m: int, r: int, k: int, seed: int
-) -> str:
-    """Expected rows for the motif-induction contract entry over
-    ``planted_graph(n, m, r, triangle, k, seed, hash_fn="md5")``:
-
-    - ``planted_support`` — the exact match count of the planted
-      triangle (?v1-[0]->?v2, ?v1-[1]->?v3, ?v2-[2]->?v3) under
-      node-var injectivity, computed by an independent 3-way SQL
-      self-join over the reconstructed (deduped) graph;
-    - ``top_is_planted`` / ``top_frequency_ge_k`` — ground-truth
-      booleans from the planting design (k disjoint instances exist,
-      and the warm-started search must retain the planted motif as its
-      best-scoring result).
-    """
+def planted_graph_cte(n: int, m: int, r: int, k: int, seed: int) -> str:
+    """CTE ``g`` reconstructing ``planted_graph(n, m, r, TRIANGLE, k,
+    seed, hash_fn="md5")`` — the seeded random base (self-loops
+    deflected) plus k disjoint planted triangle instances above the
+    base id space, deduped."""
 
     def h(salt: int) -> str:
         return hash_sql("id", str(seed), str(salt))
@@ -360,7 +350,26 @@ def planted_support_sql(
   UNION ALL SELECT {n} + j * 3 + 1, 2, {n} + j * 3 + 2 FROM generate_series(0, {k - 1}) t(j)
 ), g AS (
   SELECT DISTINCT s, p, o FROM (SELECT * FROM base2 UNION ALL SELECT * FROM planted)
-), support AS (
+)"""
+
+
+def planted_support_sql(
+    n: int, m: int, r: int, k: int, seed: int
+) -> str:
+    """Expected rows for the motif-induction contract entry over
+    ``planted_graph(n, m, r, triangle, k, seed, hash_fn="md5")``:
+
+    - ``planted_support`` — the exact match count of the planted
+      triangle (?v1-[0]->?v2, ?v1-[1]->?v3, ?v2-[2]->?v3) under
+      node-var injectivity, computed by an independent 3-way SQL
+      self-join over the reconstructed (deduped) graph;
+    - ``top_is_planted`` / ``top_frequency_ge_k`` — ground-truth
+      booleans from the planting design (k disjoint instances exist,
+      and the warm-started search must retain the planted motif as its
+      best-scoring result).
+    """
+
+    return f"""{planted_graph_cte(n, m, r, k, seed)}, support AS (
   SELECT COUNT(*) AS cnt FROM g e1, g e2, g e3
   WHERE e1.p = 0 AND e2.p = 1 AND e3.p = 2
     AND e2.s = e1.s AND e3.s = e1.o AND e3.o = e2.o
