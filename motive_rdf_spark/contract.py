@@ -700,6 +700,62 @@ def pagerank_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_triples(spark, sf_dir), iterations=3)
 
 
+# dense base (r=3) so the OLD graph has nonzero support — the entry
+# must exercise old-only, delta-only, and mixed match classes, not a
+# degenerate 0 + k split
+_DELTA_DIMS = (80, 800, 3, 40, 3)  # n, m, r, k, seed
+
+
+def _delta_support_sql() -> str:
+    from motive_rdf_spark.oracles import planted_graph_cte
+
+    n, m, r, k, seed = _DELTA_DIMS
+    sup = """SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM {g} e1, {g} e2, {g} e3
+  WHERE e1.p = 0 AND e2.p = 1 AND e3.p = 2
+    AND e2.s = e1.s AND e3.s = e1.o AND e3.o = e2.o
+    AND e1.s <> e1.o AND e1.s <> e2.o AND e1.o <> e2.o"""
+    return f"""{planted_graph_cte(n, m, r, k, seed)},
+old_g AS (SELECT DISTINCT s, p, o FROM base2),
+sup_new AS ({sup.format(g="g")}),
+sup_old AS ({sup.format(g="old_g")})
+SELECT metric, CAST(value AS BIGINT) AS value FROM (
+  SELECT 'old_support' AS metric, (SELECT cnt FROM sup_old) AS value
+  UNION ALL SELECT 'delta_new', (SELECT cnt FROM sup_new) - (SELECT cnt FROM sup_old)
+  UNION ALL SELECT 'total_support', (SELECT cnt FROM sup_new)
+)"""
+
+
+@q("delta_bgp_support", _delta_support_sql())
+def delta_bgp_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-incremental support maintenance (operators/delta.py):
+    match the planted triangle on the base graph, then compute ONLY the
+    delta matches the planted-instance append adds (semi-naive delta
+    joins — each run driven by the Δ scan) and report
+    old + delta = total. The oracle computes old/total supports
+    independently with 3-way SQL self-joins over the reconstructed
+    graphs; equality pins the semi-naive identity end-to-end."""
+    from motive_rdf_spark.data.generators import plant_instances, random_graph
+    from motive_rdf_spark.operators.bgp import find_count
+    from motive_rdf_spark.operators.delta import delta_support
+    from motive_rdf_spark.patterns import Pattern
+
+    n, m, r, k, seed = _DELTA_DIMS
+    pat = Pattern([(-1, 0, -2), (-1, 1, -3), (-2, 2, -3)])
+    old = random_graph(spark, n, m, r, seed=seed, hash_fn="md5").persist()
+    delta = plant_instances(spark, pat.edges, k, node_offset=n, num_relations=r).drop(
+        "instance_id"
+    )
+    old_sup = find_count(old, pat)
+    d_sup = delta_support(old, delta, pat)
+    old.unpersist()
+    rows = [
+        ("old_support", old_sup),
+        ("delta_new", d_sup),
+        ("total_support", old_sup + d_sup),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
 from motive_rdf_spark.operators.triangles import (  # noqa: E402
     triangle_stats_sql as _tri_sql,
 )

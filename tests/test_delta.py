@@ -1,0 +1,82 @@
+"""Semi-naive delta matching: exact multiset identity
+find(old ∪ Δ) = find(old) ⊎ find_delta(old, Δ), overlap stripping,
+and support maintenance."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from motive_rdf_spark.data.generators import plant_instances, random_graph
+from motive_rdf_spark.operators.bgp import find, find_count
+from motive_rdf_spark.operators.delta import delta_support, find_delta
+from motive_rdf_spark.patterns import Pattern
+
+TRIANGLE = [(-1, 0, -2), (-1, 1, -3), (-2, 2, -3)]
+VEE = [(-1, 0, -2), (-1, 1, -3)]
+
+
+def _ms(df) -> Counter:
+    return Counter(tuple(r) for r in df.collect())
+
+
+def test_delta_identity_planted(spark):
+    pat = Pattern(TRIANGLE)
+    old = random_graph(spark, 150, 450, 5, seed=9).cache()
+    delta = plant_instances(spark, TRIANGLE, 20, node_offset=150, num_relations=5).drop(
+        "instance_id"
+    )
+    full = old.unionAll(delta)
+    whole = _ms(find(full, pat))
+    base = _ms(find(old, pat))
+    dm = _ms(find_delta(old, delta, pat))
+    assert base + dm == whole
+    # planted instances all new -> at least 20 delta matches
+    assert sum(dm.values()) >= 20
+
+
+def test_delta_identity_random_delta(spark):
+    # delta drawn from the same id space: new matches can mix old and
+    # new triples in every position — exercises all k runs
+    pat = Pattern(VEE)
+    g1 = random_graph(spark, 60, 300, 3, seed=1).cache()
+    g2 = random_graph(spark, 60, 120, 3, seed=2).cache()
+    whole = _ms(find(g1.unionAll(g2), pat))
+    base = _ms(find(g1, pat))
+    dm = _ms(find_delta(g1, g2, pat))
+    assert base + dm == whole
+
+
+def test_delta_overlap_stripped(spark):
+    # half the "delta" already exists in old: those triples must add
+    # nothing; assume_new=False (default) strips them
+    pat = Pattern(VEE)
+    old = random_graph(spark, 50, 200, 3, seed=4).cache()
+    dup = old.limit(100)
+    fresh = plant_instances(spark, VEE, 10, node_offset=50, num_relations=3).drop(
+        "instance_id"
+    )
+    delta = dup.unionAll(fresh)
+    dm = _ms(find_delta(old, delta, pat))
+    dm_fresh_only = _ms(find_delta(old, fresh, pat))
+    assert dm == dm_fresh_only
+    # and the identity still holds against the true union
+    whole = _ms(find(old.unionAll(delta), pat))
+    assert _ms(find(old, pat)) + dm == whole
+
+
+def test_delta_support_maintenance(spark):
+    pat = Pattern(TRIANGLE)
+    old = random_graph(spark, 100, 300, 4, seed=6).cache()
+    delta = plant_instances(spark, TRIANGLE, 15, node_offset=100, num_relations=4).drop(
+        "instance_id"
+    )
+    total = find_count(old.unionAll(delta), pat)
+    assert find_count(old, pat) + delta_support(old, delta, pat) == total
+
+
+def test_empty_delta_yields_nothing(spark):
+    pat = Pattern(VEE)
+    old = random_graph(spark, 40, 150, 3, seed=8).cache()
+    assert find_delta(old, old.limit(0), pat).count() == 0
+    # delta fully contained in old is equivalent to empty
+    assert find_delta(old, old.limit(50), pat).count() == 0
