@@ -33,7 +33,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from motive_rdf_spark.pipeline.canonicalize import canonical_entities, rewrite_triples
 from motive_rdf_spark.pipeline.encode import dense_ids, encode_triples
@@ -52,6 +52,7 @@ class SnapshotReport:
     n_triples: int = 0
     stages: dict[str, float] = field(default_factory=dict)
     skipped: bool = False
+    motif_supports: dict[str, int] = field(default_factory=dict)
 
 
 def _write(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
@@ -205,13 +206,18 @@ def run_snapshot(
     out_dir: str,
     snapshot: str,
     storage=None,
+    motifs: dict | None = None,
 ) -> SnapshotReport:
     """Process one snapshot end-to-end and commit it to the ledger.
 
     ``storage`` selects the physical backend (default
     ``ParquetStorage(out_dir)``; pass an ``IcebergStorage`` for
     catalog-backed tables — identical logical behavior, test-pinned in
-    tests/test_iceberg.py)."""
+    tests/test_iceberg.py). ``motifs`` (name -> Pattern) enables
+    incremental motif-support maintenance: per snapshot the
+    ``motif_supports`` table gains one row per motif with the running
+    support, computed from the PREVIOUS row plus only the delta
+    matches (see _maintain_motif_supports)."""
     st = _storage(spark, out_dir, storage)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     rep = SnapshotReport(snapshot)
@@ -291,6 +297,12 @@ def run_snapshot(
     )
     st.write(metrics, "metrics", partition_by=["snapshot"])
 
+    # --- incremental motif-support maintenance ------------------------
+    if motifs:
+        t0 = time.time()
+        _maintain_motif_supports(spark, st, snapshot, motifs, rep)
+        rep.stages["motif_supports"] = round(time.time() - t0, 3)
+
     # --- ledger commit (the checkpoint) -------------------------------
     ledger = spark.createDataFrame(
         [(snapshot, rep.n_files, rep.n_triples, time.time())],
@@ -302,6 +314,61 @@ def run_snapshot(
     return rep
 
 
+def _maintain_motif_supports(spark, st, snapshot: str, motifs, rep) -> None:
+    """Update the ``motif_supports`` table for this snapshot via
+    semi-naive delta matching (operators/delta.find_delta): the prior
+    support plus the count of matches that use at least one of this
+    snapshot's NEW triples — never a full re-match of the accumulated
+    graph. Crash-safe like every per-snapshot write: the partition is
+    dynamic-overwritten on re-run, and the prior row (the previous
+    snapshot's) is untouched, so the addition is idempotent.
+
+    The maintained number equals ``find_count(load_graph(out_dir))``
+    after each snapshot (pinned by tests/test_pipeline.py) because the
+    delta matcher strips triples already present in the accumulated
+    deduped graph — the same dedup rule ``load_graph`` applies."""
+    from motive_rdf_spark.operators.delta import find_delta
+
+    all_triples = st.read("triples")
+    cur = all_triples.filter(F.col("snapshot") == snapshot).select("s", "p", "o")
+    old = (
+        all_triples.filter(F.col("snapshot") != snapshot)
+        .select("s", "p", "o")
+        .dropDuplicates()
+        .persist()
+    )
+    # prior supports: per motif, the row of the latest earlier snapshot
+    # (run_pipeline processes snapshots in sorted order — the ledger's
+    # commit order); missing table/rows mean "first snapshot", prior 0
+    prior: dict[str, int] = {}
+    sup_tbl = st.read("motif_supports")
+    if sup_tbl is not None:
+        for r in (
+            sup_tbl.filter(F.col("snapshot") < snapshot)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("motif").orderBy(F.col("snapshot").desc())
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select("motif", "support")
+            .collect()
+        ):
+            prior[r["motif"]] = int(r["support"])
+    rows = []
+    for name, pat in motifs.items():
+        d = find_delta(old, cur, pat).count()
+        total = prior.get(name, 0) + d
+        rep.motif_supports[name] = total
+        rows.append((snapshot, name, total, d))
+    old.unpersist()
+    out = spark.createDataFrame(
+        rows, "snapshot string, motif string, support long, delta_matches long"
+    )
+    st.write(out, "motif_supports", partition_by=["snapshot"])
+
+
 def run_pipeline(
     spark: SparkSession,
     source: DataFrame,
@@ -310,6 +377,7 @@ def run_pipeline(
     snapshots: list[str] | None = None,
     force: bool = False,
     storage=None,
+    motifs: dict | None = None,
 ) -> list[SnapshotReport]:
     """Process every unprocessed snapshot, in deterministic (sorted)
     order. Re-invocation after a crash resumes where the ledger left
@@ -325,7 +393,9 @@ def run_pipeline(
             reports.append(SnapshotReport(snap, skipped=True))
             continue
         reports.append(
-            run_snapshot(spark, source, candidates, out_dir, snap, storage=storage)
+            run_snapshot(
+                spark, source, candidates, out_dir, snap, storage=storage, motifs=motifs
+            )
         )
     return reports
 

@@ -278,3 +278,52 @@ def test_encode_broadcast_equals_shuffle(spark, monkeypatch):
     assert enc_b == enc_s
     assert dec_b == dec_s
     assert sorted(dec_b) == sorted(map(tuple, triples.collect()))
+
+
+def test_incremental_motif_supports(spark, tmp_path):
+    """motif_supports maintained per snapshot via delta matching must
+    equal a from-scratch find_count over the accumulated deduped graph
+    after EVERY snapshot, and resume must not double-count."""
+    from motive_rdf_spark.operators.bgp import find_count
+    from motive_rdf_spark.patterns import Pattern
+
+    src = source_code_table(spark, 80, commits=3).drop("k")
+    cands = candidate_dict(spark, 80)
+    out = str(tmp_path / "kg_inc")
+    # in_repo edges share files as subjects with imports: a vee motif
+    motifs = {
+        "vee": Pattern([(-1, -4, -2), (-1, -5, -3)]),
+        "edge": Pattern([(-1, -4, -2)]),
+    }
+    snaps = sorted(r["commit"] for r in src.select("commit").distinct().collect())
+    reports = run_pipeline(spark, src, cands, out, motifs=motifs)
+    assert [r.snapshot for r in reports] == snaps
+
+    sup_tbl = spark.read.parquet(f"{out}/motif_supports")
+    for i, snap in enumerate(snaps):
+        upto = (
+            spark.read.parquet(f"{out}/triples")
+            .filter(F.col("snapshot").isin(snaps[: i + 1]))
+            .select("s", "p", "o")
+            .dropDuplicates()
+        )
+        for name, pat in motifs.items():
+            maintained = (
+                sup_tbl.filter(
+                    (F.col("snapshot") == snap) & (F.col("motif") == name)
+                ).collect()[0]["support"]
+            )
+            assert maintained == find_count(upto, pat), (snap, name)
+
+    # resume: everything skipped, table unchanged
+    before = sorted(map(tuple, sup_tbl.collect()))
+    reports2 = run_pipeline(spark, src, cands, out, motifs=motifs)
+    assert all(r.skipped for r in reports2)
+    after = sorted(map(tuple, spark.read.parquet(f"{out}/motif_supports").collect()))
+    assert before == after
+
+    # crash re-run of the LAST snapshot: dynamic overwrite + prior-row
+    # derivation keep the support identical (idempotent, no double add)
+    run_pipeline(spark, src, cands, out, snapshots=[snaps[-1]], force=True, motifs=motifs)
+    again = sorted(map(tuple, spark.read.parquet(f"{out}/motif_supports").collect()))
+    assert before == again
