@@ -350,14 +350,26 @@ def multi(args, spark) -> None:
 
 
 def construct(args, spark) -> None:
+    from motive_rdf_spark.patterns import Pattern
     from motive_rdf_spark.pipeline.materialize import run_pipeline
 
     source = spark.read.parquet(args.data)
     cands = spark.read.parquet(args.candidates) if args.candidates else None
-    reports = run_pipeline(spark, source, cands, args.output)
+    # --motifs 'name=-1,0,-2;-1,1,-3 name2=...': incremental per-snapshot
+    # support maintenance into the motif_supports table
+    motifs = None
+    if args.motifs:
+        motifs = {
+            spec.split("=", 1)[0]: Pattern(parse_edges(spec.split("=", 1)[1]))
+            for spec in args.motifs
+        }
+    reports = run_pipeline(spark, source, cands, args.output, motifs=motifs)
     for rep in reports:
         status = "skipped (ledger)" if rep.skipped else f"{rep.n_triples} triples"
-        print(f"snapshot {rep.snapshot}: {status}")
+        sups = "".join(
+            f" {name}={sup}" for name, sup in sorted(rep.motif_supports.items())
+        )
+        print(f"snapshot {rep.snapshot}: {status}{sups}")
 
 
 def main() -> None:
@@ -382,6 +394,9 @@ def main() -> None:
     ap.add_argument("--links", type=int, default=10000)
     ap.add_argument("--relations", type=int, default=10)
     ap.add_argument("--instances", type=int, nargs="+", default=[0, 10, 100])
+    ap.add_argument("--motifs", nargs="+", default=None,
+                    help="construct: maintain supports incrementally, "
+                    "e.g. --motifs 'vee=-1,-4,-2;-1,-5,-3'")
     args = ap.parse_args()
 
     from motive_rdf_spark.session import get_spark
