@@ -983,6 +983,30 @@ def pipeline_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).orderBy("node")
 
 
+@q("incremental_canonicalize", _orc.pipeline_canonicalize_sql())
+def incremental_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC (canonicalize.extend_components): the same seeded
+    same_as graph as pipeline_canonicalize, but folded in as two
+    batches — CC over the first half, then the second half via
+    contraction onto components. The oracle is the SAME recursive
+    transitive closure over the full edge set: equality proves the
+    incremental path reproduces from-scratch CC exactly."""
+    from motive_rdf_spark.data.generators import seeded_hash
+    from motive_rdf_spark.pipeline.canonicalize import (
+        connected_components,
+        extend_components,
+    )
+
+    def half(lo: int, hi: int) -> DataFrame:
+        return spark.range(lo, hi).select(
+            F.pmod(seeded_hash("md5", F.col("id"), F.lit(7)), F.lit(150)).alias("src"),
+            F.pmod(seeded_hash("md5", F.col("id"), F.lit(8)), F.lit(150)).alias("dst"),
+        )
+
+    base = connected_components(half(0, 200))
+    return extend_components(base, half(200, 400)).orderBy("node")
+
+
 @q("pipeline_end_to_end", _orc.pipeline_end_to_end_sql(_PIPE_ROWS))
 def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full construction DAG in-memory (no writes): extract → link →

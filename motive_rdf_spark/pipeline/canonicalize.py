@@ -128,6 +128,56 @@ def canonical_entities(same_as: DataFrame, all_nodes: DataFrame | None = None) -
     )
 
 
+def extend_components(mapping: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Incremental CC: fold a batch of NEW ``same_as`` edges into an
+    existing node -> component mapping without re-running CC over the
+    accumulated edge set.
+
+    Components only merge under edge additions, so CC factors through
+    contraction: map each new edge's endpoints to their current
+    components (unmapped endpoints are their own component), drop the
+    loops, and run :func:`connected_components` on that CONTRACTED
+    edge set — its size is bounded by |Δ|, never by the history. The
+    composed mapping equals a from-scratch CC over old ∪ Δ (pinned by
+    tests) because the old labels are component minima, and the min
+    over a merged set of components is the min of their labels.
+
+    Scale: one broadcast-or-shuffle join to contract Δ, a CC over a
+    Δ-bounded graph, and one join to re-label the old mapping — the
+    per-snapshot cost a 1e12-edge accumulated graph demands.
+    """
+    m_src = mapping.select(F.col("node").alias("src"), F.col("component").alias("_cs"))
+    m_dst = mapping.select(F.col("node").alias("dst"), F.col("component").alias("_cd"))
+    contracted = (
+        new_edges.join(m_src, "src", "left")
+        .join(m_dst, "dst", "left")
+        .select(
+            F.coalesce("_cs", F.col("src")).alias("src"),
+            F.coalesce("_cd", F.col("dst")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    merges = connected_components(contracted)  # tiny: <= 2|Δ| nodes
+    relabel = merges.select(
+        F.col("node").alias("component"), F.col("component").alias("_new")
+    )
+    # old rows re-labeled where their component merged; new endpoints
+    # (not previously mapped) enter as their own component, re-labeled
+    # the same way
+    new_nodes = (
+        new_edges.select(F.col("src").alias("node"))
+        .unionAll(new_edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(mapping.select("node"), "node", "left_anti")
+        .withColumn("component", F.col("node"))
+    )
+    return (
+        mapping.unionByName(new_nodes)
+        .join(relabel, "component", "left")
+        .select("node", F.coalesce("_new", F.col("component")).alias("component"))
+    )
+
+
 def rewrite_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
     """Rewrite (s,p,o) through the canonical mapping (s and o only —
     predicates live in their own id space). Two hash joins; the mapping
