@@ -35,7 +35,12 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from motive_rdf_spark.pipeline.canonicalize import canonical_entities, rewrite_triples
+from motive_rdf_spark.pipeline.canonicalize import (
+    canonical_entities,
+    connected_components,
+    extend_components,
+    rewrite_triples,
+)
 from motive_rdf_spark.pipeline.encode import dense_ids, encode_triples
 from motive_rdf_spark.pipeline.extract import extract_triples
 from motive_rdf_spark.pipeline.link import link_mentions
@@ -264,6 +269,30 @@ def run_snapshot(
         )
         mapping = canonical_entities(sa_edges)
         final = rewrite_triples(enc.filter(F.col("p") != said), mapping)
+        # persist the snapshot's same_as edges (entity-identity lineage)
+        # and fold them into the maintained cross-snapshot canonical map
+        # (incremental CC: contraction onto the previous map — cost
+        # bounded by this snapshot's edges, not the accumulated set).
+        # Triples stay materialized under their snapshot-local canonical
+        # ids; load_graph(canonical=True) upgrades them through the
+        # latest map at read time, so later merges apply retroactively
+        # without rewriting committed partitions.
+        st.write(
+            sa_edges.withColumn("snapshot", F.lit(snapshot)),
+            "same_as_edges",
+            partition_by=["snapshot"],
+        )
+        prior_map = _latest_canonical_map(spark, st, before=snapshot)
+        if prior_map is None:
+            global_map = connected_components(sa_edges) if not sa_edges.isEmpty() else None
+        else:
+            global_map = extend_components(prior_map, sa_edges)
+        if global_map is not None:
+            st.write(
+                global_map.withColumn("snapshot", F.lit(snapshot)),
+                "canonical_map",
+                partition_by=["snapshot"],
+            )
     else:
         final = enc.select("s", "p", "o")
     final = final.dropDuplicates().withColumn("snapshot", F.lit(snapshot))
@@ -400,9 +429,38 @@ def run_pipeline(
     return reports
 
 
-def load_graph(spark: SparkSession, out_dir: str) -> DataFrame:
+def _latest_canonical_map(
+    spark: SparkSession, st, before: str | None = None
+) -> DataFrame | None:
+    """The canonical_map rows of the latest committed snapshot
+    (optionally restricted to snapshots sorted before ``before`` — the
+    resume path must not read the partition a crashed run of the SAME
+    snapshot may have half-written)."""
+    tbl = st.read("canonical_map")
+    if tbl is None:
+        return None
+    if before is not None:
+        tbl = tbl.filter(F.col("snapshot") < before)
+    latest = tbl.select(F.max("snapshot")).collect()[0][0]
+    if latest is None:
+        return None
+    return tbl.filter(F.col("snapshot") == latest).select("node", "component")
+
+
+def load_graph(
+    spark: SparkSession, out_dir: str, canonical: bool = False, storage=None
+) -> DataFrame:
     """The materialized KG across all snapshots, deduped (a triple
-    re-derived in a later snapshot is the same triple)."""
-    return (
-        spark.read.parquet(f"{out_dir}/triples").select("s", "p", "o").dropDuplicates()
-    )
+    re-derived in a later snapshot is the same triple).
+
+    ``canonical=True`` additionally rewrites s/o through the maintained
+    cross-snapshot canonical map, so entity merges discovered in LATER
+    snapshots apply to earlier triples retroactively — without ever
+    rewriting committed partitions."""
+    g = spark.read.parquet(f"{out_dir}/triples").select("s", "p", "o").dropDuplicates()
+    if not canonical:
+        return g
+    mapping = _latest_canonical_map(spark, _storage(spark, out_dir, storage))
+    if mapping is None:
+        return g
+    return rewrite_triples(g, mapping).dropDuplicates()

@@ -327,3 +327,49 @@ def test_incremental_motif_supports(spark, tmp_path):
     run_pipeline(spark, src, cands, out, snapshots=[snaps[-1]], force=True, motifs=motifs)
     again = sorted(map(tuple, spark.read.parquet(f"{out}/motif_supports").collect()))
     assert before == again
+
+
+def test_global_canonical_map_maintenance(spark, tmp_path):
+    """canonical_map maintained incrementally per snapshot must equal
+    from-scratch CC over the union of all stored same_as edges, and
+    load_graph(canonical=True) must equal rewriting through that map."""
+    from motive_rdf_spark.pipeline.canonicalize import (
+        connected_components,
+        rewrite_triples,
+    )
+
+    src = source_code_table(spark, 70, commits=3).drop("k")
+    cands = candidate_dict(spark, 70)
+    out = str(tmp_path / "kg_cmap")
+    run_pipeline(spark, src, cands, out)
+
+    sa = spark.read.parquet(f"{out}/same_as_edges")
+    cmap = spark.read.parquet(f"{out}/canonical_map")
+    snaps = sorted(r["snapshot"] for r in sa.select("snapshot").distinct().collect())
+    for i, snap in enumerate(snaps):
+        upto = sa.filter(F.col("snapshot").isin(snaps[: i + 1])).select("src", "dst")
+        scratch = {
+            r["node"]: r["component"] for r in connected_components(upto).collect()
+        }
+        maintained = {
+            r["node"]: r["component"]
+            for r in cmap.filter(F.col("snapshot") == snap).collect()
+        }
+        assert maintained == scratch, snap
+
+    plain = load_graph(spark, out)
+    canon = sorted(map(tuple, load_graph(spark, out, canonical=True).collect()))
+    final_map = cmap.filter(F.col("snapshot") == snaps[-1]).select("node", "component")
+    expected = sorted(
+        map(tuple, rewrite_triples(plain, final_map).dropDuplicates().collect())
+    )
+    assert canon == expected
+
+    # crash re-run of the last snapshot: map unchanged (derived from the
+    # PRIOR snapshot's rows, partition dynamic-overwritten)
+    before = sorted(map(tuple, cmap.collect()))
+    run_pipeline(spark, src, cands, out, snapshots=[snaps[-1]], force=True)
+    after = sorted(
+        map(tuple, spark.read.parquet(f"{out}/canonical_map").collect())
+    )
+    assert before == after
