@@ -384,6 +384,45 @@ def column_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_NORM_ROWS = 300
+
+
+def _normalize_text_sql() -> str:
+    from motive_rdf_spark.oracles import code_corpus_cte
+
+    return f"""WITH {code_corpus_cte(_NORM_ROWS)}
+SELECT k AS file_id,
+       trim(regexp_replace(regexp_replace(lower(content), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS norm_text,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(content), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+FROM src"""
+
+
+@q("normalize_text", _normalize_text_sql())
+def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (the first step of every dedup /
+    fingerprint recipe): lowercase, strip non-alphanumerics, collapse
+    whitespace runs (incl. newlines), trim — over the varied code
+    corpus, whose case/punctuation/newlines make every step observable
+    (the documents fixture is already normal). Pure narrow native
+    expressions — zero shuffles, zero Python; both engines use
+    RE2-compatible patterns so the normalized bytes agree exactly."""
+    from motive_rdf_spark.data.generators import code_corpus_table
+
+    src = code_corpus_table(spark, _NORM_ROWS, hash_fn="md5")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("content")), r"[^a-z0-9\s]", ""),
+            r"\s+",
+            " ",
+        )
+    )
+    return src.select(
+        F.col("file_id"),
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
 @q(
     "word_entropy",
     """SELECT doc_id,
