@@ -69,3 +69,39 @@ def term_id(dictionary: DataFrame, term: str) -> int:
     if not rows:
         raise KeyError(term)
     return int(rows[0]["id"])
+
+
+def write_ntriples(
+    triples: DataFrame,
+    path: str,
+    node_dict: DataFrame | None = None,
+    pred_dict: DataFrame | None = None,
+    compression: str | None = None,
+) -> None:
+    """N-Triples sink — the interchange path out of the engine: a
+    constructed/materialized graph round-trips through any RDF tool
+    (and back through :func:`read_ntriples`; equality pinned by test).
+
+    Pass string triples (columns subj/pred/obj, terms serialized as
+    parsed — IRIs keep their ``<>``, literals their quotes/tags), or
+    encoded long triples (columns s/p/o) together with both
+    dictionaries to decode first. The write is a distributed text
+    write (one shard per partition, gz-compressible via
+    ``compression="gzip"``) — never a driver-side collect."""
+    if {"subj", "pred", "obj"}.issubset(triples.columns):
+        strs = triples
+    else:
+        if node_dict is None or pred_dict is None:
+            raise ValueError("encoded triples need node_dict and pred_dict")
+        from motive_rdf_spark.pipeline.encode import decode_triples
+
+        strs = decode_triples(triples.select("s", "p", "o"), node_dict, pred_dict)
+    lines = strs.select(
+        F.concat_ws(" ", F.col("subj"), F.col("pred"), F.col("obj"), F.lit(".")).alias(
+            "value"
+        )
+    )
+    w = lines.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)

@@ -92,3 +92,41 @@ def test_supplement_top_motif_frequency(spark, dogfood):
     kept = prune_matches(pat, matches)
     assert len(matches) == 10_475
     assert len(kept) == 10_475  # instances are triple-disjoint
+
+
+def test_ntriples_roundtrip(spark, tmp_path):
+    """write_ntriples(read_ntriples(x)) == x for IRIs, blank nodes, and
+    literals with spaces / language tags / datatypes — both from string
+    triples and from the encoded+dict form."""
+    from motive_rdf_spark.sources.ntriples import (
+        encode_graph,
+        read_ntriples,
+        write_ntriples,
+    )
+
+    src = tmp_path / "g.nt"
+    src.write_text(
+        "\n".join(
+            [
+                "<http://a/s1> <http://p/knows> <http://a/s2> .",
+                "_:b0 <http://p/name> \"Alice In Chains\"@en .",
+                "<http://a/s2> <http://p/age> \"42\"^^<http://www.w3.org/2001/XMLSchema#int> .",
+                "# a comment line",
+                "<http://a/s1> <http://p/knows> _:b0 .",
+            ]
+        )
+    )
+    nt = read_ntriples(spark, str(src))
+    orig = sorted(map(tuple, nt.collect()))
+    assert len(orig) == 4
+
+    out1 = str(tmp_path / "out_strings")
+    write_ntriples(nt, out1)
+    back1 = sorted(map(tuple, read_ntriples(spark, out1).collect()))
+    assert back1 == orig
+
+    enc, nd, pd_ = encode_graph(nt)
+    out2 = str(tmp_path / "out_encoded")
+    write_ntriples(enc, out2, node_dict=nd, pred_dict=pd_, compression="gzip")
+    back2 = sorted(map(tuple, read_ntriples(spark, out2).collect()))
+    assert back2 == orig
