@@ -80,3 +80,26 @@ def test_empty_delta_yields_nothing(spark):
     assert find_delta(old, old.limit(0), pat).count() == 0
     # delta fully contained in old is equivalent to empty
     assert find_delta(old, old.limit(50), pat).count() == 0
+
+
+def test_delta_identity_pred_vars(spark):
+    # predicate variables: the delta decomposition is orthogonal to
+    # term types — identity must hold with -4/-5 predicate vars too
+    pat = Pattern([(-1, -4, -2), (-1, -5, -3)])
+    g1 = random_graph(spark, 40, 120, 4, seed=21).cache()
+    g2 = random_graph(spark, 40, 60, 4, seed=22).cache()
+    whole = _ms(find(g1.unionAll(g2), pat))
+    assert _ms(find(g1, pat)) + _ms(find_delta(g1, g2, pat)) == whole
+
+
+def test_delta_identity_constant_predicate(spark):
+    # constant-predicate chain where only the delta carries relation 2
+    pat = Pattern([(-1, 2, -2), (-2, 2, -3)])
+    g1 = random_graph(spark, 50, 200, 2, seed=31).cache()   # rels 0..1 only
+    g2 = plant_instances(spark, pat.edges, 8, node_offset=50, num_relations=3).drop(
+        "instance_id"
+    )
+    whole = _ms(find(g1.unionAll(g2), pat))
+    base = _ms(find(g1, pat))
+    dm = _ms(find_delta(g1, g2, pat))
+    assert len(base) == 0 and base + dm == whole
