@@ -37,7 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from motive_rdf_spark.operators.bgp import TID, _edge_scan, prepare_triples
+from motive_rdf_spark.operators.bgp import GraphStore, TID, _edge_scan, prepare_triples
 from motive_rdf_spark.patterns import Pattern, var_col
 
 
@@ -68,7 +68,7 @@ def _order_from(pattern: Pattern, start: int) -> list[int]:
 
 
 def find_delta(
-    old: DataFrame,
+    old: DataFrame | GraphStore,
     delta: DataFrame,
     pattern: Pattern,
     assume_new: bool = False,
@@ -79,29 +79,44 @@ def find_delta(
     their union is exactly ``find(old ∪ delta, pattern)`` (pinned by
     tests). Columns ``v1..vk`` like ``find``.
 
+    ``old`` may be a ``GraphStore``: old-graph edge scans then read the
+    pre-partitioned cached copies (exchange elision exactly as in
+    ``find``), which matters because the old graph is the BIG side of
+    every run — the delta is small by assumption.
+
     ``assume_new=True`` skips the anti-join that strips delta triples
     already present in ``old`` (pass it when the caller guarantees
     disjointness, e.g. a ledgered snapshot append)."""
     if not pattern.edges:
         raise ValueError("empty pattern")
-    old_p = prepare_triples(old)
+    store = old if isinstance(old, GraphStore) else None
+    old_p = store.plain if store is not None else prepare_triples(old)
     delta_p = prepare_triples(delta)
     if not assume_new:
         delta_p = delta_p.join(old_p.select("s", "p", "o"), ["s", "p", "o"], "left_anti")
-    full_p = old_p.unionByName(delta_p)
+    full_p = old_p.select("s", "p", "o", TID).unionByName(
+        delta_p.select("s", "p", "o", TID)
+    )
 
     node_var_cols = [var_col(v) for v in pattern.node_vars]
     k = len(pattern.edges)
     runs: list[DataFrame] = []
     for i in range(k):
-        sources = {
-            j: (old_p if j < i else delta_p if j == i else full_p) for j in range(k)
-        }
         emb: DataFrame | None = None
         present: set[str] = set()
         injected: set[frozenset[str]] = set()
         for idx in _order_from(pattern, i):
-            scan = _edge_scan(sources[idx], pattern.edges[idx], idx)
+            if idx < i:
+                src = (
+                    store.for_edge(pattern.edges[idx], present)
+                    if store is not None
+                    else old_p
+                )
+            elif idx == i:
+                src = delta_p
+            else:
+                src = full_p
+            scan = _edge_scan(src, pattern.edges[idx], idx)
             evars = [c for c in scan.columns if not c.startswith(TID)]
             if emb is None:
                 emb = scan

@@ -103,3 +103,20 @@ def test_delta_identity_constant_predicate(spark):
     base = _ms(find(g1, pat))
     dm = _ms(find_delta(g1, g2, pat))
     assert len(base) == 0 and base + dm == whole
+
+
+def test_delta_graphstore_equals_dataframe_path(spark):
+    from motive_rdf_spark.operators.bgp import GraphStore, prepare_triples
+
+    pat = Pattern(TRIANGLE)
+    old = random_graph(spark, 120, 400, 5, seed=41).cache()
+    delta = plant_instances(spark, TRIANGLE, 12, node_offset=120, num_relations=5).drop(
+        "instance_id"
+    )
+    plain = _ms(find_delta(old, delta, pat))
+    store = GraphStore(prepare_triples(old))
+    try:
+        stored = _ms(find_delta(store, delta, pat))
+    finally:
+        store.unpersist()
+    assert plain == stored
