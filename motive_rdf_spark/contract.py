@@ -1451,6 +1451,37 @@ def cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.3)
 
 
+_SEMDECON_SQL = """
+WITH c AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), b AS (
+  SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id % 20 = 0
+), mx AS (
+  SELECT c.vec_id, MAX(ROUND(list_cosine_similarity(c.e, b.e), 4)) AS max_bench_sim
+  FROM c JOIN b ON c.vec_id <> b.bid GROUP BY c.vec_id
+)
+SELECT vec_id, max_bench_sim, max_bench_sim >= 0.6 AS contaminated FROM mx
+"""
+
+
+@q("semantic_decontaminate", _SEMDECON_SQL)
+def semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination
+    (operators/similarity.semantic_decontaminate): max cosine of every
+    corpus vector against the benchmark subset (every 20th vector),
+    flagged at 0.6 — the semantic complement of the shingle-based
+    `decontaminate` (a paraphrase shares no 5-gram but sits next to
+    the original in embedding space). Exact mode here (benchmark side
+    broadcast, corpus never shuffles); the LSH-bucketed mode for
+    non-broadcastable benchmarks is pinned by tests/test_trainops.py."""
+    from motive_rdf_spark.operators.similarity import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    return semantic_decontaminate(emb, bench, threshold=0.6)
+
+
 @q("lsh_ann", _orc.lsh_ann_sql(dim=64))
 def lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN (bucketed candidate scoring — the

@@ -475,3 +475,74 @@ SELECT {id_col}, per.{group_col},
        ROUND(dot / (sqrt(xx) * sqrt(cc)), {round_to}) AS cos_centroid,
        ROUND(dot / (sqrt(xx) * sqrt(cc)), {round_to}) < {outlier_below} AS is_outlier
 FROM per JOIN cnorm ON cnorm.{group_col} = per.{group_col}"""
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    lsh: bool = False,
+    dim: int | None = None,
+    num_planes: int = 8,
+    seed: int = 42,
+    hash_fn: str = "xx",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    complement of the shingle-based ``dedup.decontaminate``: flag every
+    corpus vector whose max cosine against ANY benchmark vector
+    reaches ``threshold`` (a paraphrased eval question shares no
+    5-gram but sits next to the original in embedding space).
+
+    Returns [id_col, max_bench_sim(4dp), contaminated]. Self-pairs
+    (same id on both sides) are excluded so a benchmark row inside the
+    corpus is flagged only by OTHER benchmark rows.
+
+    ``lsh=False``: exact bipartite scoring — corpus x benchmark, which
+    at real scale is fine whenever the benchmark side is bounded (a
+    few hundred k rows broadcast; the corpus never shuffles — the same
+    zero-corpus-shuffle structure as the shingle path). ``lsh=True``:
+    both sides sketched, benchmark exploded with Hamming-1 probes,
+    same-bucket candidates only — for benchmark sets too large to
+    broadcast; ``max_bench_sim`` is then the max over candidates (the
+    contaminated flag agrees whp — near-dups agree on nearly every
+    hyperplane), and corpus rows with no candidate report -1.0.
+    """
+    c = with_unit_vectors(corpus, vec_col).select(
+        F.col(id_col), F.col("_unit").alias("_cv")
+    )
+    b = with_unit_vectors(benchmark, vec_col).select(
+        F.col(id_col).alias("_bid"), F.col("_unit").alias("_bv")
+    )
+    if not lsh:
+        pairs = c.join(F.broadcast(b), c[id_col] != b["_bid"])
+    else:
+        if dim is None:
+            dim = len(corpus.select(vec_col).first()[0])
+        cs = lsh_sketch(
+            with_unit_vectors(corpus, vec_col), dim, num_planes, seed, "_unit", hash_fn
+        ).select(F.col(id_col), F.col("_unit").alias("_cv"), "bucket")
+        bs = lsh_sketch(
+            with_unit_vectors(benchmark, vec_col), dim, num_planes, seed, "_unit", hash_fn
+        ).select(F.col(id_col).alias("_bid"), F.col("_unit").alias("_bv"), "bucket")
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(2**p)) for p in range(num_planes)],
+        )
+        bs = bs.withColumn("bucket", F.explode(probes))
+        pairs = cs.join(bs, "bucket").filter(F.col(id_col) != F.col("_bid"))
+    sims = (
+        pairs.select(id_col, F.round(_dot(F.col("_cv"), F.col("_bv")), 4).alias("sim"))
+        .groupBy(id_col)
+        .agg(F.max("sim").alias("max_bench_sim"))
+    )
+    return (
+        c.select(id_col)
+        .join(sims, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("max_bench_sim", F.lit(-1.0)).alias("max_bench_sim"),
+            (F.coalesce("max_bench_sim", F.lit(-1.0)) >= threshold).alias("contaminated"),
+        )
+    )

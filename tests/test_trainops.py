@@ -816,3 +816,51 @@ def test_centroid_cosine_negative_outlier(spark):
     df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
     got = {r["vec_id"]: r["cos_centroid"] for r in centroid_cosine(df).collect()}
     assert got[2] < 0 < got[0]
+
+
+def test_semantic_decontaminate_lsh_flags_planted_clone(spark):
+    """LSH mode must flag a corpus vector that is a near-copy of a
+    benchmark vector (cosine ~1 vectors agree on nearly every
+    hyperplane, so they share or neighbor a bucket), must not flag
+    unrelated vectors at a high threshold, and exact mode must agree
+    with a locally computed max."""
+    import math
+
+    from motive_rdf_spark.operators.similarity import semantic_decontaminate
+
+    import random
+
+    dim = 16
+    rng = []
+    for i in range(40):
+        r = random.Random(i * 1000 + 7)
+        rng.append([r.gauss(0, 1) for _ in range(dim)])
+    bench_rows = [(1000 + i, rng[i]) for i in range(5)]
+    # corpus: a near-copy of bench vector 0 (tiny perturbation), plus
+    # orthogonal-ish noise vectors
+    clone = [x + 0.001 for x in rng[0]]
+    corpus_rows = [(0, clone)] + [(i, rng[10 + i]) for i in range(1, 30)]
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+    bench = spark.createDataFrame(bench_rows, "vec_id long, embedding array<double>")
+
+    flagged = {
+        r["vec_id"]: (r["max_bench_sim"], r["contaminated"])
+        for r in semantic_decontaminate(
+            corpus, bench, threshold=0.98, lsh=True, dim=dim
+        ).collect()
+    }
+    assert flagged[0][1] is True and flagged[0][0] >= 0.98
+    assert sum(1 for _, (s, c) in flagged.items() if c) == 1
+
+    # exact mode: max_bench_sim equals the local computation
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a)); nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    exact = {
+        r["vec_id"]: r["max_bench_sim"]
+        for r in semantic_decontaminate(corpus, bench, threshold=0.98).collect()
+    }
+    for vid, vec in corpus_rows:
+        want = round(max(cos(vec, bv) for bid, bv in bench_rows if bid != vid), 4)
+        assert abs(exact[vid] - want) < 2e-4, (vid, exact[vid], want)
