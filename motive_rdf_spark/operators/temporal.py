@@ -54,6 +54,11 @@ def asof_join(
 
     ``probe`` and ``build`` may share column names — only ``key`` and
     ``ts`` need to exist in both.
+
+    Determinism note: if SEVERAL build rows share one (key, ts), which
+    of them wins is unspecified (the window orders by (ts, tag) only)
+    — dedupe the build side on (key, ts) upstream when that matters;
+    the pandas-differential test does exactly that.
     """
     pcols = probe.columns
     tagged_build = build.select(

@@ -97,3 +97,65 @@ def test_temporal_parallelism_invariant(spark, parts):
 def test_asof_single_shuffle_no_join(spark):
     plan = asof_join(_probe(spark), _build(spark), "k", "t", ["bid"])._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan  # union+window form, never a join
+
+
+def test_asof_hypothesis_vs_pandas_merge_asof(spark):
+    """Differential: asof_join vs pandas.merge_asof (an independent
+    implementation; direction='backward', allow_exact_matches=True is
+    the same inclusive <= contract) over randomized key/ts frames."""
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    row = st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=50),     # ts (seconds)
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        probe=st.lists(row, min_size=1, max_size=12),
+        build=st.lists(row, min_size=0, max_size=12),
+    )
+    def run(probe, build):
+        pdf = pd.DataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(probe)], columns=["k", "t", "pid"]
+        )
+        bdf = pd.DataFrame(
+            [(k, t, 100 + i) for i, (k, t) in enumerate(build)],
+            columns=["k", "t", "bid"],
+        )
+        # pandas merge_asof requires sorted ts and breaks ties by taking
+        # the LAST build row at equal (key, ts); our window does the
+        # same (last over ts-then-tag order). Dedupe build on (k, t)
+        # keeping max bid to make the tie rule explicit on both sides.
+        bdf = (
+            bdf.sort_values(["t", "bid"])
+            .groupby(["k", "t"], as_index=False)
+            .last()
+            .astype({"k": "int64", "t": "int64", "bid": "int64"})
+        )
+        sp = spark.createDataFrame(pdf, "k long, t long, pid long").withColumn(
+            "t", F.timestamp_micros((F.col("t") * 1_000_000).cast("long"))
+        )
+        sb = spark.createDataFrame(bdf[["k", "t", "bid"]], "k long, t long, bid long").withColumn(
+            "t", F.timestamp_micros((F.col("t") * 1_000_000).cast("long"))
+        )
+        got = {
+            r["pid"]: r["asof_bid"]
+            for r in asof_join(sp, sb, "k", "t", ["bid"]).collect()
+        }
+        want_df = pd.merge_asof(
+            pdf.sort_values("t"),
+            bdf.sort_values("t"),
+            on="t",
+            by="k",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        want = {
+            int(r.pid): (None if pd.isna(r.bid) else int(r.bid))
+            for r in want_df.itertuples()
+        }
+        assert got == want
+
+    run()
