@@ -1632,6 +1632,74 @@ def streaming_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_STREAM_SUPPORT_ROWS = 80
+
+_STREAM_SUPPORTS_SQL = (
+    _orc.extract_triples_cte(_STREAM_SUPPORT_ROWS)
+    + """, dst AS (SELECT DISTINCT subj, pred, obj FROM st)
+SELECT motif, CAST(support AS BIGINT) AS support FROM (
+  SELECT 'calls_vee' AS motif,
+         (SELECT COUNT(*) FROM dst t1, dst t2
+          WHERE t1.pred = 'calls' AND t2.pred = 'calls' AND t1.obj = t2.obj
+            AND t1.subj <> t2.subj AND t1.subj <> t1.obj
+            AND t2.subj <> t2.obj) AS support
+  UNION ALL
+  SELECT 'def_member',
+         (SELECT COUNT(*) FROM dst d1, dst d2
+          WHERE d1.pred = 'member_of' AND d2.pred = 'defines_class'
+            AND d1.obj = d2.obj AND d1.subj <> d1.obj
+            AND d1.subj <> d2.subj AND d1.obj <> d2.subj)
+)"""
+)
+
+
+@q("streaming_motif_supports", _STREAM_SUPPORTS_SQL)
+def streaming_motif_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental motif supports
+    (streaming/construct.run_support_stream): the synthesized source
+    table staged as TWO drop waves, each drained with AvailableNow —
+    the second wave's supports are maintained from the first via
+    find_delta per micro-batch, never a full re-match. The oracle
+    computes the same supports from the closed-form extraction CTE
+    with independent SQL self-joins; equality proves the maintained
+    number equals a from-scratch match over everything streamed."""
+    import shutil
+    import tempfile
+
+    from motive_rdf_spark.data.generators import source_code_table
+    from motive_rdf_spark.patterns import Pattern
+    from motive_rdf_spark.streaming.construct import (
+        ground_term,
+        load_stream_supports,
+        run_support_stream,
+    )
+
+    calls, member, defc = (
+        ground_term("calls"),
+        ground_term("member_of"),
+        ground_term("defines_class"),
+    )
+    motifs = {
+        "calls_vee": Pattern([(-1, calls, -3), (-2, calls, -3)]),
+        "def_member": Pattern([(-1, member, -2), (-3, defc, -2)]),
+    }
+    src_dir = tempfile.mkdtemp(prefix="swc_sup_src_")
+    out_dir = tempfile.mkdtemp(prefix="swc_sup_out_")
+    try:
+        full = source_code_table(spark, _STREAM_SUPPORT_ROWS, hash_fn="md5").drop("k")
+        a = full.limit(50)
+        a.write.mode("append").parquet(src_dir)
+        run_support_stream(spark, src_dir, out_dir, motifs)
+        full.exceptAll(a).write.mode("append").parquet(src_dir)
+        run_support_stream(spark, src_dir, out_dir, motifs)
+        rows = load_stream_supports(spark, out_dir)
+        out = spark.createDataFrame(rows.collect(), "motif string, support long")
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return out
+
+
 _DOGFOOD_GOLDENS_SQL = """
 SELECT query, CAST(support AS BIGINT) AS support FROM (VALUES
   ('q1', 3307), ('q2', 3307), ('q3', 77897),

@@ -159,3 +159,47 @@ def test_streaming_dedup_state_spans_microbatches(spark, tmp_path):
     )
     exp = {r["content_sha"] for r in streaming_dedup(batch).collect()}
     assert both == exp
+
+
+def test_streaming_motif_supports_incremental_equals_batch(spark, tmp_path):
+    """Supports maintained per micro-batch across two drop waves (and a
+    no-op third drain) must equal a from-scratch find_count over the
+    hash-encoded extraction of ALL files."""
+    from motive_rdf_spark.data.generators import source_code_table
+    from motive_rdf_spark.operators.bgp import find_count
+    from motive_rdf_spark.patterns import Pattern
+    from motive_rdf_spark.pipeline.extract import extract_triples
+    from motive_rdf_spark.streaming.construct import (
+        ground_term,
+        hash_encode_triples,
+        load_stream_supports,
+        run_support_stream,
+    )
+
+    calls = ground_term("calls")
+    member = ground_term("member_of")
+    defc = ground_term("defines_class")
+    motifs = {
+        "calls_vee": Pattern([(-1, calls, -3), (-2, calls, -3)]),
+        "def_member": Pattern([(-1, member, -2), (-3, defc, -2)]),
+    }
+    src_dir = str(tmp_path / "drops")
+    out_dir = str(tmp_path / "out")
+    full = source_code_table(spark, 80, hash_fn="md5").drop("k").persist()
+    a = full.limit(50)
+    b = full.exceptAll(a)
+
+    a.write.mode("append").parquet(src_dir)
+    run_support_stream(spark, src_dir, out_dir, motifs)
+    b.write.mode("append").parquet(src_dir)
+    run_support_stream(spark, src_dir, out_dir, motifs)
+    # third drain with nothing new: supports unchanged
+    run_support_stream(spark, src_dir, out_dir, motifs)
+
+    got = {r["motif"]: r["support"] for r in load_stream_supports(spark, out_dir).collect()}
+    enc_all = hash_encode_triples(
+        extract_triples(spark.read.parquet(src_dir))
+    ).dropDuplicates()
+    for name, pat in motifs.items():
+        assert got[name] == find_count(enc_all, pat), name
+    assert got["def_member"] == 80  # one (f, C, file) chain per source row
