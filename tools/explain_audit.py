@@ -56,6 +56,7 @@ AUDITED = [
     "triangle_stats",
     "delta_bgp_support",
     "incremental_canonicalize",
+    "semantic_decontaminate",
 ]
 
 
