@@ -127,7 +127,13 @@ def run_support_stream(
     rewrites its own partitions idempotently; the delta is computed
     against strictly-earlier partitions and the prior support comes
     from the latest earlier batch. The streaming analog of the ledger
-    discipline in pipeline/materialize.py."""
+    discipline in pipeline/materialize.py.
+
+    The checkpoint and ``out_dir`` are one unit: batch ids are issued
+    by the checkpoint, so deleting it while keeping ``out_dir`` (or
+    vice versa) desynchronizes the partition keys from the offset log
+    — the standard Spark streaming-sink contract, stated here because
+    this sink keys its idempotence on those ids."""
     from pyspark.sql import functions as F
 
     from motive_rdf_spark.operators.delta import find_delta
