@@ -315,6 +315,28 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "events_sliding",
+    """SELECT ws AS window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+         event_type
+  FROM events)
+GROUP BY ws, event_type""",
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping-window aggregation (2h window, 1h slide) — each event
+    lands in exactly two hour-aligned windows; native F.window (the
+    same operator the streaming tier uses with a watermark). Oracle
+    unnests the two window starts per event explicitly."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n")).select(
+        F.col("w.start").alias("window_start"), "event_type", "n"
+    )
+
+
 from motive_rdf_spark.operators.temporal import (  # noqa: E402
     asof_clicks_before_errors_sql as _asof_sql,
     range_clicks_before_errors_sql as _range_sql,
