@@ -316,6 +316,45 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "session_window_agg",
+    """WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM sess GROUP BY user_id, sid""",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window aggregation (F.session_window, 30 min gap)
+    — the built-in operator behind streaming sessionization, in batch
+    form; complements the lag-window `sessionize` entry (which counts
+    sessions) by aggregating per session. Oracle: the classic
+    gaps-and-islands reconstruction (lag flag + running sum)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@q(
     "events_sliding",
     """SELECT ws AS window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM (
@@ -381,6 +420,35 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_count(
         errors, clicks, key="user_id", ts="ts", window_sec=3600
     ).select("event_id", "user_id", "n_in_range")
+
+
+@q(
+    "grouped_percentiles",
+    """SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag""",
+)
+def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentile profile (p25/p50/p75/p99 of extended
+    price per return flag) — Spark's exact `percentile` aggregate and
+    DuckDB's quantile_cont share the linear-interpolation rule, so the
+    values match to the rounded digit. The 100 TB path swaps in
+    approx_percentile with identical plan shape (documented in
+    operators/profile.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = [0.25, 0.5, 0.75, 0.99]
+    names = ["p25", "p50", "p75", "p99"]
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {p})"), 4).alias(a)
+            for p, a in zip(pct, names)
+        ],
+    )
 
 
 _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
