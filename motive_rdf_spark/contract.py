@@ -451,6 +451,39 @@ def grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "interval_overlap_orders",
+    """SELECT l.o_orderkey, CAST(COUNT(r.o_orderkey) AS BIGINT) AS n_overlap
+FROM (SELECT * FROM orders) l
+LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') r
+  ON l.o_custkey = r.o_custkey
+ AND l.o_orderdate < r.o_orderdate + INTERVAL 30 DAY
+ AND r.o_orderdate < l.o_orderdate + INTERVAL 30 DAY
+GROUP BY l.o_orderkey""",
+)
+def interval_overlap_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join (operators/temporal.py): per
+    order's 30-day window, how many same-customer FINISHED-order
+    windows overlap it — bucketed to 30-day quanta so the join is equi
+    on (customer, quantum), never a theta join. Oracle: the plain
+    overlap predicate."""
+    from motive_rdf_spark.operators.temporal import interval_overlap_count
+
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "o_end", F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+    )
+    return interval_overlap_count(
+        o.select("o_orderkey", "o_custkey", "o_orderdate", "o_end"),
+        o.filter(F.col("o_orderstatus") == "F").select(
+            "o_custkey", "o_orderdate", "o_end"
+        ),
+        key="o_custkey",
+        start="o_orderdate",
+        end="o_end",
+        bucket_sec=30 * 86400,
+    ).select("o_orderkey", "n_overlap")
+
+
 _PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 from motive_rdf_spark.operators.profile import (  # noqa: E402

@@ -156,3 +156,71 @@ LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
  AND epoch_us(c.ts) <  epoch_us(e.ts)
 GROUP BY e.event_id, e.user_id
 """
+
+
+def interval_overlap_count(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    start: str,
+    end: str,
+    bucket_sec: int,
+    count_col: str = "n_overlap",
+) -> DataFrame:
+    """Interval × interval overlap join: per left row, how many right
+    rows share ``key`` and overlap its [start, end) — half-open
+    semantics, touching endpoints do NOT overlap. Left columns pass
+    through plus ``count_col`` (0 when none; self-comparisons are the
+    caller's concern — pass disjoint frames or filter afterwards).
+
+    Bucketing generalizes ``range_join_count`` to two interval sides:
+    each interval explodes to every ``bucket_sec``-quantum it covers,
+    the join is equi on (key, bucket), candidate pairs collapse with a
+    distinct on (left id, right id) — an overlapping pair meets in
+    every shared quantum — and the exact predicate (ls < re AND
+    rs < le) filters. Pick ``bucket_sec`` near the typical interval
+    length: an interval spans ~len/bucket_sec + 1 quanta, so the
+    fan-out is a small constant and the join stays an equi-join —
+    never the theta join Spark would run as a nested loop at scale."""
+
+    def us(col: str):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    wus = bucket_sec * 1_000_000
+    lid = "__lid"
+    # monotonically_increasing_id is deterministic GIVEN the input
+    # partitioning (partitionId << 33 | row index), so the two
+    # consumers of l_tagged (the bucketed explode and the final
+    # count join) see identical ids without a persist
+    l_tagged = left.withColumn(lid, F.monotonically_increasing_id())
+    lb = l_tagged.select(
+        F.col(lid),
+        F.col(key).alias("_k"),
+        us(start).alias("_ls"),
+        us(end).alias("_le"),
+        F.explode(
+            F.sequence(F.floor(us(start) / wus), F.floor((us(end) - 1) / wus))
+        ).alias("_bucket"),
+    )
+    rid = "__rid"
+    rb = right.withColumn(rid, F.monotonically_increasing_id()).select(
+        F.col(rid),
+        F.col(key).alias("_k"),
+        us(start).alias("_rs"),
+        us(end).alias("_re"),
+        F.explode(
+            F.sequence(F.floor(us(start) / wus), F.floor((us(end) - 1) / wus))
+        ).alias("_bucket"),
+    )
+    pairs = (
+        lb.join(rb, ["_k", "_bucket"])
+        .filter((F.col("_ls") < F.col("_re")) & (F.col("_rs") < F.col("_le")))
+        .select(lid, rid)
+        .distinct()
+    )
+    counts = pairs.groupBy(lid).agg(F.count("*").alias(count_col))
+    out = (
+        l_tagged.join(counts, lid, "left")
+        .select(*left.columns, F.coalesce(count_col, F.lit(0)).cast("long").alias(count_col))
+    )
+    return out

@@ -159,3 +159,60 @@ def test_asof_hypothesis_vs_pandas_merge_asof(spark):
         assert got == want
 
     run()
+
+
+def test_interval_overlap_matches_naive(spark):
+    from motive_rdf_spark.operators.temporal import interval_overlap_count
+
+    def iv(rows):
+        df = spark.createDataFrame(rows, "k long, s long, e long, rid long")
+        return df.select(
+            "k", "rid",
+            F.timestamp_micros((F.col("s") * 1_000_000).cast("long")).alias("s"),
+            F.timestamp_micros((F.col("e") * 1_000_000).cast("long")).alias("e"),
+        )
+
+    left = iv([(1, 0, 100, 0), (1, 100, 200, 1), (1, 50, 150, 2), (2, 0, 10, 3), (3, 5, 6, 4)])
+    right = iv([(1, 90, 110, 10), (1, 199, 300, 11), (2, 10, 20, 12), (1, 0, 1000, 13)])
+    got = {
+        r["rid"]: r["n_overlap"]
+        for r in interval_overlap_count(left, right, "k", "s", "e", 60).collect()
+    }
+    # naive theta join
+    lp = left.selectExpr("k lk", "rid", "unix_micros(s) ls", "unix_micros(e) le")
+    rp = right.selectExpr("k rk", "unix_micros(s) rs", "unix_micros(e) re")
+    naive_df = lp.join(
+        rp,
+        (F.col("lk") == F.col("rk")) & (F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le")),
+        "left",
+    ).groupBy("rid").agg(F.count("rs").alias("n"))
+    naive = {r["rid"]: r["n"] for r in naive_df.collect()}
+    assert got == naive
+    # half-open: [0,100) does not overlap [100,?); [100,200) meets [90,110) and [199,300)
+    assert got[0] == 2 and got[1] == 3 and got[3] == 0
+    # long interval (13) spans many buckets and still counts once per pair
+    assert got[2] == 2
+
+
+def test_interval_overlap_bucket_size_invariant(spark):
+    from motive_rdf_spark.operators.temporal import interval_overlap_count
+
+    def iv(rows):
+        df = spark.createDataFrame(rows, "k long, s long, e long, rid long")
+        return df.select(
+            "k", "rid",
+            F.timestamp_micros((F.col("s") * 1_000_000).cast("long")).alias("s"),
+            F.timestamp_micros((F.col("e") * 1_000_000).cast("long")).alias("e"),
+        )
+
+    left = iv([(1, i * 7, i * 7 + 15, i) for i in range(30)])
+    right = iv([(1, i * 11, i * 11 + 4, 100 + i) for i in range(20)])
+    a = sorted(
+        tuple(r)
+        for r in interval_overlap_count(left, right, "k", "s", "e", 5).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in interval_overlap_count(left, right, "k", "s", "e", 97).collect()
+    )
+    assert a == b
