@@ -1,8 +1,21 @@
-"""Measure incremental support maintenance vs full re-match: the
-TPC-H KG at sf0.1 as the accumulated graph, a ~1% planted-triangle
-append as the snapshot delta.
+"""Incremental support maintenance vs full re-match — the probe behind
+BENCH/BASELINE.md's "Incremental vs full" table.
 
-Usage: python tools/delta_probe.py [k_instances]
+Protocol: interleaved best-of-3 (A/B/A/B) — this host drifts up to 2x
+between separate sessions, so only interleaved samples are comparable.
+Workloads over the 69M-triple planted graph with a 30k-triple
+(10k-instance) appended delta:
+
+  triangle — constant-predicate triangle (3.01M-row match set): the
+             low-cardinality regime where a full re-match off the
+             cache-resident graph is near the scan floor and the delta
+             path's k cascades are parity at best.
+  vee      — predicate-variable vee (306M-row match set): the
+             high-cardinality regime where the full re-match pays for
+             enumerating every embedding each snapshot and the delta
+             path wins by the ratio of match sets.
+
+Usage: python tools/delta_probe.py [triangle|vee|both]
 """
 
 from __future__ import annotations
@@ -14,12 +27,11 @@ import time
 
 def main() -> None:
     sys.path.insert(0, "/root/repo")
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 5000
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "16")
 
-    from motive_rdf_spark import kg_tpch
-    from motive_rdf_spark.data.generators import plant_instances
-    from motive_rdf_spark.operators.bgp import find_count
+    from motive_rdf_spark.data.generators import plant_instances, planted_graph
+    from motive_rdf_spark.operators.bgp import GraphStore, find_count, prepare_triples
     from motive_rdf_spark.operators.delta import delta_support
     from motive_rdf_spark.patterns import Pattern
     from motive_rdf_spark.session import get_spark
@@ -31,30 +43,36 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    old = kg_tpch.prepared_triples(spark, "/root/testdata/sf0.1")
-    n_old = old.count()
-    max_id = old.selectExpr("greatest(max(s), max(o)) g").collect()[0]["g"]
-    pat_edges = [(-1, 0, -2), (-1, 1, -3), (-2, 2, -3)]
-    pat = Pattern(pat_edges)
+    tri = [(-1, 0, -2), (-1, 1, -3), (-2, 2, -3)]
+    n, m, r, k = 12_000_000, 60_000_000, 20, 3_000_000
+    prep = prepare_triples(planted_graph(spark, n=n, m=m, r=r, pattern_edges=tri, k=k))
+    store = GraphStore(prep)
+    store.by_s.count(), store.by_o.count()
     delta = (
-        plant_instances(spark, pat_edges, k, node_offset=int(max_id) + 1, num_relations=5)
+        plant_instances(spark, tri, 10_000, node_offset=n + 3 * k + 10, num_relations=r)
         .drop("instance_id")
         .persist()
     )
-    n_delta = delta.count()
-    union = old.select("s", "p", "o").unionAll(delta)
+    delta.count()
+    union = store.plain.select("s", "p", "o").unionAll(delta)
 
-    for label, fn in (
-        ("full_rematch", lambda: find_count(union, pat)),
-        ("delta_only", lambda: delta_support(old, delta, pat, assume_new=True)),
-    ):
-        best, val = None, None
-        for _ in range(3):
-            t0 = time.time()
-            val = fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        print(f"{label}: {best:.2f}s result={val} (old={n_old}, delta={n_delta})")
+    pats = {"triangle": Pattern(tri), "vee": Pattern([(-1, -4, -2), (-1, -5, -3)])}
+    for name, pat in pats.items():
+        if which not in (name, "both"):
+            continue
+        best: dict = {}
+        for rnd in range(3 if name == "triangle" else 1):
+            for label, fn in (
+                ("full", lambda: find_count(union, pat)),
+                ("delta_store", lambda: delta_support(store, delta, pat, assume_new=True)),
+            ):
+                t0 = time.time()
+                v = fn()
+                dt = time.time() - t0
+                best[label] = min(best.get(label, (1e9, 0)), (dt, v))
+                print(f"{name} round{rnd} {label}: {dt:.2f}s ({v})")
+        for label, (dt, v) in best.items():
+            print(f"{name} BEST {label}: {dt:.2f}s result={v}")
     spark.stop()
 
 
