@@ -547,6 +547,31 @@ def normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "length_buckets",
+    """SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(NTILE(8) OVER (ORDER BY len(string_split(text, ' ')), doc_id) AS BIGINT) AS bucket
+FROM documents""",
+)
+def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching (inference/packing prep): ntile-8 over
+    token count with doc_id tiebreak — deterministic equal-size
+    buckets; batching similar lengths minimizes padding waste. Scale
+    note: a global NTILE is a single-task sort — at 100 TB swap in
+    approx-quantile cut points and a narrow bucket expression (same
+    output contract, no global order); the exact form is the oracle
+    baseline."""
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " ", -1)).cast("long")
+    w = Window.orderBy(n, F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.ntile(8).over(w).cast("long").alias("bucket"),
+    )
+
+
+@q(
     "word_entropy",
     """SELECT doc_id,
        CAST(SUM(c) AS BIGINT) AS n_tokens,
