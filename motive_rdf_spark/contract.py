@@ -2009,6 +2009,49 @@ def motif_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PRIORITY = ("dogfood_goldens", "hdt_goldens", "motif_induction", "streaming_extract")
 
 
+def _last_driver_green() -> dict[str, int]:
+    """Per entry, the latest round whose driver-written
+    ``CORRECTNESS_r*.json`` (repo root, next to this package) contains
+    a row for it; entries never reached get 0. Read at registry() time
+    so the rotation below self-updates every round without a baked
+    list."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
 def registry() -> dict[str, tuple[QueryFn, str | None]]:
+    """All contract entries, in the order a budget/row-capped consumer
+    should evaluate them.
+
+    Rotation rule (VERDICT r4 item 1): the driver's correctness file
+    is capped at ~50 rows while the registry holds 80+, so ordering is
+    the only lever for evidence coverage. ``_PRIORITY`` (the four
+    heavy §2 entries) always leads; every other entry is ordered by
+    (round of its newest driver-green row, name) — oldest evidence
+    first, never-checked entries (round 0) ahead of everything — so a
+    window of W rows per round cycles driver verification across the
+    whole registry within ceil(|registry| / W) rounds."""
     first = {k: _REG[k] for k in _PRIORITY if k in _REG}
-    return first | {k: v for k, v in _REG.items() if k not in first}
+    last = _last_driver_green()
+    rest = sorted(
+        (k for k in _REG if k not in first), key=lambda k: (last.get(k, 0), k)
+    )
+    return first | {k: _REG[k] for k in rest}

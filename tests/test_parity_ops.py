@@ -80,3 +80,22 @@ def test_report_sinks():
     csv_text = to_csv(res, null_bits=100.0, pred_names={0: "knows"})
     assert "log_factor" in csv_text and "?n1 knows ?n2" in csv_text
     assert "4.5" in csv_text  # 100 - 95.5
+
+
+def test_registry_rotation_order():
+    """VERDICT r4 item 1: the driver's correctness file is row-capped,
+    so registry() must rotate evidence — _PRIORITY first, then every
+    other entry ordered by (newest driver-green round, name) with
+    never-checked entries (round 0) ahead of everything."""
+    from motive_rdf_spark.contract import _PRIORITY, _last_driver_green, registry
+
+    names = list(registry())
+    assert tuple(names[: len(_PRIORITY)]) == _PRIORITY
+    last = _last_driver_green()
+    rest_keys = [(last.get(n, 0), n) for n in names[len(_PRIORITY) :]]
+    assert rest_keys == sorted(rest_keys)
+    # the rotation is only useful if stale/never-checked entries exist
+    # and genuinely lead the tail — guard against a regression back to
+    # registration order
+    if any(r == 0 for r, _ in rest_keys):
+        assert rest_keys[0][0] == 0
