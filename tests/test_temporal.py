@@ -216,3 +216,83 @@ def test_interval_overlap_bucket_size_invariant(spark):
         for r in interval_overlap_count(left, right, "k", "s", "e", 97).collect()
     )
     assert a == b
+
+
+def test_asof_null_build_field_not_mixed(spark):
+    """ADVICE r4: a NULL field in the latest build row must stay NULL —
+    not fall back to an older build row's value for that column only.
+    All attached columns come from the same (latest) build row."""
+    probe = spark.createDataFrame([(1, 150, 0)], "k long, t long, pid long")
+    build = spark.createDataFrame(
+        [(1, 50, 9, 7), (1, 100, 1, None)], "k long, t long, a long, b long"
+    )
+    row = asof_join(probe, build, "k", "t", ["a", "b"]).collect()[0]
+    assert row["asof_a"] == 1
+    assert row["asof_b"] is None  # latest row's genuine NULL, not 7
+
+
+def test_asof_hot_key_salting_identical_output(spark):
+    """VERDICT r4 item 3: one key holding ~90% of rows, salted windows
+    must reproduce the unsalted answer exactly."""
+    import random
+
+    rng = random.Random(5)
+    probe_rows = [(1, rng.randrange(0, 100_000), i) for i in range(900)]
+    probe_rows += [(k, rng.randrange(0, 100_000), 900 + i) for i, k in enumerate(rng.choices(range(2, 30), k=100))]
+    build_rows = [(1, rng.randrange(0, 100_000), 10_000 + i) for i in range(900)]
+    build_rows += [(k, rng.randrange(0, 100_000), 20_000 + i) for i, k in enumerate(rng.choices(range(2, 30), k=100))]
+    # dedupe build on (k, t): equal-(key, ts) build winners are
+    # unspecified, and salted vs unsalted may break such ties differently
+    seen = set()
+    build_rows = [r for r in build_rows if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))]
+    probe = spark.createDataFrame(probe_rows, "k long, t long, pid long").withColumn(
+        "t", F.timestamp_micros((F.col("t") * 1_000_000).cast("long"))
+    )
+    build = spark.createDataFrame(build_rows, "k long, t long, bid long").withColumn(
+        "t", F.timestamp_micros((F.col("t") * 1_000_000).cast("long"))
+    )
+    plain = asof_join(probe, build, "k", "t", ["bid"])
+    salted = asof_join(probe, build, "k", "t", ["bid"], hot_key_threshold=100, n_salt_buckets=16)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # the guard is real: the salted window partitions on the salt column
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__asof_salt" in plan
+
+
+def test_range_join_duplicate_probe_rows_each_kept(spark):
+    """VERDICT r4 item 9: N identical probe rows yield N output rows,
+    each with the true count — not one collapsed row."""
+    probe = spark.createDataFrame(
+        [(1, 100), (1, 100), (1, 100)], "k long, t long"
+    ).withColumn("t", F.timestamp_micros((F.col("t") * 1_000_000).cast("long")))
+    build = _build(spark)
+    out = range_join_count(probe, build, "k", "t", 100, "n").collect()
+    assert len(out) == 3
+    assert all(r["n"] == 1 for r in out)  # k=1 build rows in [0,100): t=60
+
+
+def test_interval_overlap_duplicates_and_no_mid(spark):
+    """VERDICT r4 item 5 / ADVICE r4: no monotonically_increasing_id
+    anywhere in the plan (double-evaluation hazard), duplicate rows on
+    both sides counted per row, and a shuffle between construction and
+    action does not corrupt the join-back."""
+    from motive_rdf_spark.operators.temporal import interval_overlap_count
+
+    def iv(rows):
+        df = spark.createDataFrame(rows, "k long, s long, e long, rid long")
+        return df.select(
+            "k", "rid",
+            F.timestamp_micros((F.col("s") * 1_000_000).cast("long")).alias("s"),
+            F.timestamp_micros((F.col("e") * 1_000_000).cast("long")).alias("e"),
+        )
+
+    # rid duplicates too: fully identical left rows
+    left = iv([(1, 0, 100, 0), (1, 0, 100, 0), (2, 5, 6, 1)]).repartition(7)
+    right = iv([(1, 50, 60, 10), (1, 50, 60, 10), (1, 90, 200, 11)]).repartition(3)
+    out = interval_overlap_count(left, right, "k", "s", "e", 30)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically" not in plan.lower()
+    rows = sorted((r["rid"], r["n_overlap"]) for r in out.collect())
+    # each duplicate left row keeps its own output row; the duplicated
+    # right interval counts twice
+    assert rows == [(0, 3), (0, 3), (1, 0)]
