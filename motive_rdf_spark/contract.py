@@ -1835,10 +1835,14 @@ def streaming_motif_supports(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="swc_sup_out_")
     try:
         full = source_code_table(spark, _STREAM_SUPPORT_ROWS, hash_fn="md5").drop("k")
-        a = full.limit(50)
-        a.write.mode("append").parquet(src_dir)
+        # split the waves by a deterministic key predicate — limit()
+        # without an order is not stable across re-evaluations, so the
+        # two consumers (write of wave A, exceptAll for wave B) could
+        # otherwise disagree on which rows wave A held (ADVICE r4)
+        wave_a = F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(8)) < 5
+        full.filter(wave_a).write.mode("append").parquet(src_dir)
         run_support_stream(spark, src_dir, out_dir, motifs)
-        full.exceptAll(a).write.mode("append").parquet(src_dir)
+        full.filter(~wave_a).write.mode("append").parquet(src_dir)
         run_support_stream(spark, src_dir, out_dir, motifs)
         rows = load_stream_supports(spark, out_dir)
         out = spark.createDataFrame(rows.collect(), "motif string, support long")

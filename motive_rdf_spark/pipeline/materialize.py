@@ -360,8 +360,13 @@ def _maintain_motif_supports(spark, st, snapshot: str, motifs, rep) -> None:
 
     all_triples = st.read("triples")
     cur = all_triples.filter(F.col("snapshot") == snapshot).select("s", "p", "o")
+    # strictly EARLIER snapshots (not merely != current): a forced
+    # re-run of a mid-history snapshot must see the same old graph the
+    # original run saw — matching the prior-support and canonical-map
+    # derivations — or the recomputed delta strips matches involving
+    # future triples and corrupts the support row (ADVICE r4)
     old = (
-        all_triples.filter(F.col("snapshot") != snapshot)
+        all_triples.filter(F.col("snapshot") < snapshot)
         .select("s", "p", "o")
         .dropDuplicates()
         .persist()

@@ -328,6 +328,14 @@ def test_incremental_motif_supports(spark, tmp_path):
     again = sorted(map(tuple, spark.read.parquet(f"{out}/motif_supports").collect()))
     assert before == again
 
+    # crash re-run of a MID-HISTORY snapshot (ADVICE r4): the old graph
+    # must be snapshot < current, not snapshot != current — otherwise
+    # the recomputed delta sees future triples as "old", strips matches
+    # involving them, and corrupts that snapshot's support row
+    run_pipeline(spark, src, cands, out, snapshots=[snaps[1]], force=True, motifs=motifs)
+    mid = sorted(map(tuple, spark.read.parquet(f"{out}/motif_supports").collect()))
+    assert before == mid
+
 
 def test_global_canonical_map_maintenance(spark, tmp_path):
     """canonical_map maintained incrementally per snapshot must equal
