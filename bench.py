@@ -65,25 +65,30 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     reg = registry()
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     rows: dict[str, int] = {}
+    import statistics
+
     for name in headline:
         if name not in reg:
             continue
         fn, _ = reg[name]
-        best = float("inf")
-        runs_done = 0
-        # sub-2s queries get extra best-of runs: at that scale the
-        # host's run-to-run spread dominates the query itself (the
-        # round-3 cosine_topk 0.88->1.38 s driver-run delta was exactly
-        # this — same code measured 0.49 s in isolation)
-        while runs_done < n_runs or (best < 2.0 and runs_done < max(n_runs, 6)):
+        samples: list[float] = []
+        # sub-2s queries get extra runs: at that scale the host's
+        # run-to-run spread dominates the query itself (the round-3
+        # cosine_topk 0.88->1.38 s driver-run delta was exactly this —
+        # same code measured 0.49 s in isolation). Both the best-of
+        # (low-noise floor) and the median (what a typical run costs on
+        # this host) are reported — VERDICT r4 item 6: sub-second
+        # best-of deltas alone are not attributable to code.
+        while len(samples) < n_runs or (min(samples) < 2.0 and len(samples) < max(n_runs, 8)):
             t0 = time.time()
             df = fn(spark, sf_dir)
             # count() forces full evaluation without driver-side collect
             rows[name] = df.count()
-            best = min(best, time.time() - t0)
-            runs_done += 1
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        timings[name] = round(min(samples), 3)
+        medians[name] = round(statistics.median(samples), 3)
 
     # KG-construction throughput over the TPC-H star schema view
     from motive_rdf_spark.kg_tpch import triples_view
@@ -139,6 +144,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
                 "rows": rows,
                 "triples": pipe_triples,
                 "triples_per_sec": round(pipe_triples / max(construct_sec, 1e-9), 1),

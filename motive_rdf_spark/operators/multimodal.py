@@ -12,12 +12,18 @@ have REAL pure-Python codecs (no external media libraries needed):
 - ``video`` — uncompressed AVI (RIFF 'AVI '): header-LIST walk to
   ``avih``/``strh``/``strf`` (DIB / BI_RGB, 24-bit), ``movi`` frame
   chunks decoded as bottom-up BGR device-independent bitmaps
-  (VERDICT r3 item 2 — the former ``NotImplementedError`` boundary).
+  (VERDICT r3 item 2 — the former ``NotImplementedError`` boundary);
+- ``image`` (compressed) — baseline JPEG via the pure-numpy T.81
+  decoder in ``operators/jpeg.py`` (VERDICT r4 item 7): Huffman +
+  dequant + IDCT, grayscale and YCbCr, dispatched by magic bytes.
 
-``decode=\"real\"`` uses them for every modality. ``decode=\"fake\"``
+``decode=\"real\"`` uses them for every modality, sniffing the payload
+magic (JPEG ``FFD8`` vs PPM ``P6`` for images). ``decode=\"fake\"``
 keeps the deterministic bytes-hash decoder so plumbing tests run on any
-payload; ``decode=\"strict\"`` always raises (the explicit slot where a
-production deployment plugs a library decoder for compressed codecs).
+payload; ``decode=\"strict\"`` decodes ONLY wired codecs and raises
+``NotImplementedError`` for any other payload (MP3, H.264, progressive
+JPEG, …) — the explicit slot where a production deployment plugs a
+library decoder for the remaining compressed formats.
 
 Scale notes: media rows are large (MBs); ``MEDIA_PARTITION_TARGET``
 documents the repartition rule — size partitions by *bytes*, not rows
@@ -52,6 +58,13 @@ FEATURE_SCHEMA = "media_id long, modality string, n_bytes long, feature array<do
 PPM_W, PPM_H = 16, 12
 WAV_SAMPLES, WAV_RATE = 500, 8000
 AVI_W, AVI_H, AVI_FRAMES, AVI_FPS = 16, 8, 4, 10
+# compressed-image fixture: 16x16 grayscale baseline JPEG of four 8x8
+# solid tiles, tile t = (29*media_id + 17*t) mod 256 — block-constant
+# content round-trips EXACTLY through the all-ones quant table (only
+# DC survives the DCT), so the decoded mean stays closed-form; padded
+# after EOI to a fixed byte size so n_bytes is a constant too
+JPEG_W, JPEG_H = 16, 16
+JPEG_PAD_BYTES = 1024
 
 
 def synthesize_media(spark, rows: int, seed: int = 42, codec: str = "fake") -> DataFrame:
@@ -93,6 +106,15 @@ def synthesize_media(spark, rows: int, seed: int = 42, codec: str = "fake") -> D
             for mid in pdf["id"]:
                 mid = int(mid)
                 if mid % 3 == 0:
+                    if mid % 6 == 0:  # every other image row is COMPRESSED
+                        payload = _make_jpeg(mid)
+                        out["modality"].append("image")
+                        out["meta"].append(
+                            {"width": JPEG_W, "height": JPEG_H, "duration_ms": 0, "codec": "jpeg"}
+                        )
+                        out["media_id"].append(mid)
+                        out["media"].append(payload)
+                        continue
                     payload = _make_ppm(mid)
                     out["modality"].append("image")
                     out["meta"].append(
@@ -131,6 +153,15 @@ def _make_ppm(mid: int) -> bytes:
     n = PPM_W * PPM_H * 3
     px = ((np.arange(n, dtype=np.int64) * 31 + mid) % 256).astype(np.uint8)
     return f"P6\n{PPM_W} {PPM_H}\n255\n".encode() + px.tobytes()
+
+
+def _make_jpeg(mid: int) -> bytes:
+    from motive_rdf_spark.operators.jpeg import encode_jpeg_gray
+
+    img = np.zeros((JPEG_H, JPEG_W), dtype=np.uint8)
+    for t, (by, bx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (29 * mid + 17 * t) % 256
+    return encode_jpeg_gray(img, pad_to=JPEG_PAD_BYTES)
 
 
 def _make_wav(mid: int) -> bytes:
@@ -349,12 +380,30 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return np.frombuffer(h[: FEATURE_DIM * 2], dtype=np.uint16).astype("float64") / 65535.0
 
 
-def _real_features(modality: str, payload: bytes) -> np.ndarray:
+def _real_features(modality: str, payload: bytes, strict: bool = False) -> np.ndarray:
     """FEATURE_DIM doubles. Sums are taken over exact integers so the
-    mean is bit-reproducible by an integer-arithmetic oracle."""
+    mean is bit-reproducible by an integer-arithmetic oracle. Codec
+    dispatch is by payload magic; ``strict`` turns an unrecognized
+    payload into ``NotImplementedError`` (the plug-a-library slot)
+    instead of the codec's own parse error."""
     out = np.zeros(FEATURE_DIM)
+    if strict and not (
+        payload[:2] == b"\xff\xd8"
+        or payload[:2] == b"P6"
+        or payload[:4] == b"RIFF"
+    ):
+        raise NotImplementedError(
+            f"strict mode: no codec wired for this {modality} payload "
+            "(JPEG/PPM/WAV/AVI built in; plug a library decoder for "
+            "other compressed formats here)"
+        )
     if modality == "image":
-        px = decode_ppm(payload)
+        if payload[:2] == b"\xff\xd8":  # compressed: baseline JPEG
+            from motive_rdf_spark.operators.jpeg import decode_jpeg
+
+            px = decode_jpeg(payload)
+        else:
+            px = decode_ppm(payload)
         flat = px.astype(np.int64).ravel()
         out[0] = (float(flat.sum()) / flat.size) / 255.0
         out[1] = float(flat.std()) / 255.0
@@ -391,16 +440,11 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "strict":
-                raise NotImplementedError(
-                    "strict mode: no codec wired; use decode='real' for the "
-                    "built-in PPM/WAV decoders or plug a library decoder here"
-                )
             if decode == "fake":
                 feats = [_fake_decode(bytes(b)) for b in pdf["media"]]
             else:
                 feats = [
-                    _real_features(mod, bytes(b))
+                    _real_features(mod, bytes(b), strict=decode == "strict")
                     for mod, b in zip(pdf["modality"], pdf["media"])
                 ]
             yield pd.DataFrame(

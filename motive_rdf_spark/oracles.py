@@ -278,9 +278,15 @@ def multimodal_sql(rows: int) -> str:
     (feature[0]) and byte size are computed here by integer arithmetic —
     entirely independent of the PPM/WAV/AVI codecs under test.
 
-    PPM payload (media_id % 3 == 0): 13-byte header
-    ('P6\\n16 12\\n255\\n') + 16*12*3 raw bytes with pixel i =
-    (31*i + media_id) mod 256. WAV payload (% 3 == 1): 44-byte
+    Image rows (media_id % 3 == 0) alternate codec. PPM
+    (media_id % 6 == 3): 13-byte header ('P6\\n16 12\\n255\\n') +
+    16*12*3 raw bytes with pixel i = (31*i + media_id) mod 256.
+    Baseline JPEG (media_id % 6 == 0): 16x16 grayscale of four solid
+    8x8 tiles, tile t = (29*media_id + 17*t) mod 256 — block-constant
+    content survives the all-ones-quant DCT exactly, so the decoded
+    mean is the tile-color average; the payload is padded after EOI to
+    a fixed 1024 bytes, so n_bytes is a constant. WAV payload
+    (% 3 == 1): 44-byte
     RIFF/fmt/data header + 500 PCM16 samples with sample i =
     ((37*i + 11*media_id) mod 65536) - 32768. AVI payload (% 3 == 2):
     RIFF(12) + hdrl LIST(212) + movi LIST(12 + frames*(8 + h*w*3)) with
@@ -290,6 +296,7 @@ def multimodal_sql(rows: int) -> str:
         AVI_FRAMES,
         AVI_H,
         AVI_W,
+        JPEG_PAD_BYTES,
         PPM_H,
         PPM_W,
         WAV_SAMPLES,
@@ -297,6 +304,7 @@ def multimodal_sql(rows: int) -> str:
 
     n_px = PPM_W * PPM_H * 3
     ppm_bytes = len(f"P6\n{PPM_W} {PPM_H}\n255\n") + n_px
+    jpeg_bytes = JPEG_PAD_BYTES
     wav_bytes = 44 + 2 * WAV_SAMPLES
     # RIFF hdr 12; LIST hdrl = 12 + avih(8+56) + LIST strl(12 + strh(8+56)
     # + strf(8+40) = 124) = 200; LIST movi = 12 + frames*(8 + padded raster)
@@ -310,7 +318,13 @@ img AS (
          (list_sum(list_transform(generate_series(0, {n_px - 1}),
                                   i -> CAST((i * 31 + media_id) % 256 AS DOUBLE)))
           / {n_px}) / 255.0::DOUBLE AS f0
-  FROM m WHERE media_id % 3 = 0
+  FROM m WHERE media_id % 6 = 3
+), jpg AS (
+  SELECT media_id, 'image' AS modality, {jpeg_bytes} AS n_bytes,
+         (list_sum(list_transform(generate_series(0, 3),
+                                  t -> CAST((media_id * 29 + t * 17) % 256 AS DOUBLE)))
+          / 4) / 255.0::DOUBLE AS f0
+  FROM m WHERE media_id % 6 = 0
 ), aud AS (
   SELECT media_id, 'audio' AS modality, {wav_bytes} AS n_bytes,
          (list_sum(list_transform(generate_series(0, {WAV_SAMPLES - 1}),
@@ -326,7 +340,8 @@ img AS (
   FROM m WHERE media_id % 3 = 2
 )
 SELECT media_id, modality, CAST(n_bytes AS BIGINT) AS n_bytes, ROUND(f0, 6) AS f0
-FROM (SELECT * FROM img UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)"""
+FROM (SELECT * FROM img UNION ALL SELECT * FROM jpg
+      UNION ALL SELECT * FROM aud UNION ALL SELECT * FROM vid)"""
 
 
 def planted_graph_cte(n: int, m: int, r: int, k: int, seed: int) -> str:

