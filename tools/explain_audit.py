@@ -50,6 +50,8 @@ AUDITED = [
     "code_quality",
     "asof_join_events",
     "range_join_events",
+    "interval_overlap_orders",
+    "multimodal_features",
     "column_profile",
     "word_entropy",
     "normalize_text",
