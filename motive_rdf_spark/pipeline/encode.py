@@ -13,8 +13,9 @@ strings).
 ``row_number().over(Window.orderBy(...))`` funnels every row through
 ONE task, which is wrong at 1e9 dictionary entries. Instead:
 
-  1. range-repartition + sort the distinct terms (one shuffle, all
-     parallel);
+  1. range-repartition the raw terms, dedupe in-partition (range
+     partitioning satisfies the dedup aggregate's clustering
+     requirement — ONE shuffle total, plan-pinned), sort;
   2. count rows per partition (tiny collect: one long per partition);
   3. rank *within* each physical partition (``row_number`` partitioned
      by ``spark_partition_id`` — each partition is its own window
@@ -44,11 +45,16 @@ def dense_ids_counted(
     already knows (the per-partition size collect) — callers that need
     the dictionary's size for a size-aware join choice get it without
     an extra job over the un-materialized window plan."""
-    d = df.select(col).distinct()
+    # range-partition FIRST, dedupe second: RangePartitioning(col)
+    # satisfies the dedup aggregate's clustering requirement, so the
+    # whole build pays ONE exchange (plan-pinned by test) instead of a
+    # hash-distinct exchange followed by a range exchange
+    d = df.select(col)
     if num_partitions:
         d = d.repartitionByRange(num_partitions, F.col(col))
     else:
         d = d.repartitionByRange(F.col(col))
+    d = d.dropDuplicates([col])
     # checkpoint so the size-count job and the id-assignment job see the
     # exact same physical partitioning (range boundaries sampled once)
     d = (

@@ -381,3 +381,13 @@ def test_global_canonical_map_maintenance(spark, tmp_path):
         map(tuple, spark.read.parquet(f"{out}/canonical_map").collect())
     )
     assert before == after
+
+
+def test_dense_ids_single_exchange_plan(spark):
+    """Round-5 encode cut: the dictionary build pays exactly ONE
+    exchange (the range partition) — dedup runs in-partition because
+    range partitioning satisfies its clustering requirement."""
+    df = spark.range(5000).select((F.col("id") % 400).cast("string").alias("term"))
+    d = df.select("term").repartitionByRange(4, F.col("term")).dropDuplicates(["term"])
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
