@@ -76,7 +76,7 @@ def connected_components(
         return df.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
 
     prev_sum = _label_sum(labels)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # propagate: each edge (a,b) offers label(a) to b. The labels
         # side is hinted shuffle-hash: at real scale it is far past any
         # broadcast threshold anyway, and at bench scale letting AQE
@@ -91,20 +91,26 @@ def connected_components(
         # component(v)). Edge propagation alone needs O(diameter)
         # rounds — a 1e3-long same_as chain would need 1e3 rounds;
         # with jumping the reachable-hop horizon doubles per round,
-        # giving O(log diameter) total.
-        jump = new_labels.select(
-            F.col("node").alias("jnode"), F.col("component").alias("jcomp")
-        ).hint("shuffle_hash")
-        labels = (
-            new_labels.join(jump, new_labels["component"] == jump["jnode"], "left")
-            .select(
+        # giving O(log diameter) total. Deferred past round 0: the
+        # dominant same_as shape (mention→entity stars) settles in the
+        # first min-propagation alone, and the jump there maps every
+        # label through itself — a full self-join spent on a no-op.
+        # Chains still finish in O(log d) (the horizon doubling merely
+        # starts one round later); round count is label-sum-gated
+        # either way, so correctness is untouched.
+        if it > 0:
+            jump = new_labels.select(
+                F.col("node").alias("jnode"), F.col("component").alias("jcomp")
+            ).hint("shuffle_hash")
+            new_labels = new_labels.join(
+                jump, new_labels["component"] == jump["jnode"], "left"
+            ).select(
                 "node",
                 F.coalesce(F.least("component", "jcomp"), F.col("component")).alias(
                     "component"
                 ),
             )
-            .localCheckpoint(eager=True)
-        )
+        labels = new_labels.localCheckpoint(eager=True)
         new_sum = _label_sum(labels)
         if new_sum == prev_sum:
             return labels
