@@ -151,12 +151,12 @@ def find_delta(
 
     node_var_cols = [var_col(v) for v in pattern.node_vars]
     k = len(pattern.edges)
-    runs: list[DataFrame] = []
-    for i in range(k):
+
+    def _build_run(i: int) -> DataFrame | None:
         # empty-Δ short-circuit: run i cannot produce a match when the
         # delta holds no triple matching edge i's constants
         if _delta_maybe_empty(pattern.edges[i], i):
-            continue
+            return None
         emb: DataFrame | None = None
         # known row count of the current embedding (None = unknown/big).
         # Seeded with |Δ| for the leading scan (constants only shrink
@@ -224,11 +224,26 @@ def find_delta(
                         continue
                     emb = emb.filter(F.col(tids[a_i]) != F.col(tids[b_i]))
         out_cols = [var_col(v) for v in pattern.variables]
-        runs.append(
+        return (
             emb.limit(1).select(F.lit(True).alias("matched"))
             if not out_cols
             else emb.select(*out_cols)
         )
+
+    # build the k runs on driver THREADS: each run's adaptive
+    # checkpoint+count jobs are independent, so submitting them
+    # concurrently overlaps their cluster work (the per-run jobs were
+    # the delta path's serialized overhead) — the same pattern
+    # encode_triples uses for its two dictionary builds. Spark job
+    # submission is thread-safe; result order stays by run index.
+    from concurrent.futures import ThreadPoolExecutor
+
+    if adaptive and k > 1:
+        with ThreadPoolExecutor(max_workers=min(k, 4)) as pool:
+            built = list(pool.map(_build_run, range(k)))
+    else:
+        built = [_build_run(i) for i in range(k)]
+    runs = [r for r in built if r is not None]
     if not runs:  # every edge's Δ scan was empty — no new match possible
         node_t = delta_p.schema["s"].dataType.simpleString()
         pred_t = delta_p.schema["p"].dataType.simpleString()
